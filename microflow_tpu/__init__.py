@@ -1,0 +1,15 @@
+"""microflow_tpu: a TPU-native INT8 inference + integer-training engine.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the MicroFlow
+Rust TinyML engine (Geostartico/microflow-rs): a tflite flatbuffer
+compiler front-end emits a static, shape-monomorphic JAX graph whose
+quantized kernels run on the MXU/VPU, batched and shardable across a TPU
+mesh -- where the reference runs one sample at a time on an MCU core.
+"""
+
+from .compiler import CompiledModel, build, compile_tflite
+from .frontend import parse
+
+__version__ = "0.1.0"
+
+__all__ = ["CompiledModel", "build", "compile_tflite", "parse"]

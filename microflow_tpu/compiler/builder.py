@@ -1,0 +1,208 @@
+"""Graph builder: folded IR -> jittable batched JAX functions.
+
+TPU-native analog of the reference's code generation step
+(``microflow-macros/src/lib.rs:160-183``): where the proc-macro emits a
+straight-line ``predict_inner`` with baked ``const`` weights, we close a
+straight-line traced function over the layer IR.  Static attributes
+(shapes, strides, folded scalars, quantization params) constant-fold into
+the XLA program; trainable arrays (weights, C0 bias constants, FC's
+derived C2) live in a params pytree so the training path can update them
+and the serving path can donate/shard them.
+
+The generated API mirrors the reference model struct:
+
+* ``predict(x_f32)            -> f32``   (quantize -> layers -> dequantize)
+* ``predict_quantized(x_int)  -> f32``
+* ``predict_inner(x_int)      -> int``   (the raw quantized pipeline)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.numerics import f32
+from ..core.quantize import dequantize, quantize
+from ..core.tensor import reshape_2d
+from ..ops import (
+    average_pool_2d,
+    conv_2d,
+    depthwise_conv_2d,
+    fully_connected,
+    reshape,
+    softmax,
+)
+from .ir import (
+    AveragePool2DLayer,
+    Conv2DLayer,
+    DepthwiseConv2DLayer,
+    FullyConnectedLayer,
+    Graph,
+    ReshapeLayer,
+    SoftmaxLayer,
+)
+
+
+def _broadcast_per_channel(values: np.ndarray, n: int, dtype) -> np.ndarray:
+    """Reference ``.get(i).unwrap_or(arr[0])`` as a static broadcast."""
+    return np.array([values[i] if i < len(values) else values[0] for i in range(n)], dtype)
+
+
+def init_params(graph: Graph) -> dict:
+    """Trainable/updatable arrays, keyed by layer index."""
+    params = {}
+    for layer in graph.layers:
+        if isinstance(layer, FullyConnectedLayer):
+            params[f"layer{layer.index}"] = {
+                "weights": jnp.asarray(layer.weights),
+                "c0": jnp.asarray(layer.c0),
+                "c2": jnp.asarray(layer.c2),
+            }
+        elif isinstance(layer, Conv2DLayer):
+            params[f"layer{layer.index}"] = {
+                "weights": jnp.asarray(layer.filters),
+                "c0": jnp.asarray(layer.c0),
+            }
+        elif isinstance(layer, DepthwiseConv2DLayer):
+            params[f"layer{layer.index}"] = {
+                "weights": jnp.asarray(layer.weights),
+                "c0": jnp.asarray(layer.c0),
+            }
+    return params
+
+
+def apply_layer(layer, params: dict, x: jax.Array) -> jax.Array:
+    """Run one IR layer (shared by inference and the training forward)."""
+    if isinstance(layer, FullyConnectedLayer):
+        if layer.flatten_input:
+            x = reshape_2d(x)
+        p = params[f"layer{layer.index}"]
+        return fully_connected(
+            x,
+            p["weights"],
+            w_zp=layer.w_q.zp0,
+            bias0=f32(layer.out_q.zp0) + p["c0"],
+            c1=layer.c1,
+            c2=p["c2"],
+            c3=layer.c3,
+            out_scale=layer.out_q.scale0,
+            out_zp=layer.out_q.zp0,
+            activation=layer.activation,
+        )
+    if isinstance(layer, Conv2DLayer):
+        p = params[f"layer{layer.index}"]
+        num_f = layer.filters.shape[0]
+        return conv_2d(
+            x,
+            p["weights"],
+            geom=layer.geom,
+            in_zp=layer.in_q.zp0,
+            w_zp=_broadcast_per_channel(layer.w_q.zero_point, num_f, np.int32),
+            bias0=f32(layer.out_q.zp0) + p["c0"],
+            c1=_broadcast_per_channel(layer.c1, num_f, np.float32),
+            out_scale=layer.out_q.scale0,
+            out_zp=layer.out_q.zp0,
+            activation=layer.activation,
+        )
+    if isinstance(layer, DepthwiseConv2DLayer):
+        p = params[f"layer{layer.index}"]
+        ch = layer.weights.shape[2]
+        return depthwise_conv_2d(
+            x,
+            p["weights"],
+            geom=layer.geom,
+            in_zp=layer.in_q.zp0,
+            w_zp=_broadcast_per_channel(layer.w_q.zero_point, ch, np.int32),
+            bias0=f32(layer.out_q.zp0) + p["c0"],
+            c1=_broadcast_per_channel(layer.c1, ch, np.float32),
+            out_scale=layer.out_q.scale0,
+            out_zp=layer.out_q.zp0,
+            activation=layer.activation,
+        )
+    if isinstance(layer, AveragePool2DLayer):
+        return average_pool_2d(
+            x,
+            geom=layer.geom,
+            c0=layer.c0,
+            c1=layer.c1,
+            out_scale=layer.out_q.scale0,
+            out_zp=layer.out_q.zp0,
+            activation=layer.activation,
+        )
+    if isinstance(layer, SoftmaxLayer):
+        if x.ndim > 2:
+            x = reshape_2d(x)
+        return softmax(
+            x,
+            in_scale=layer.in_q.scale0,
+            out_scale=layer.out_q.scale0,
+            out_zp=layer.out_q.zp0,
+        )
+    if isinstance(layer, ReshapeLayer):
+        return reshape(x, layer.out_shape)
+    raise TypeError(f"unknown layer {type(layer)}")
+
+
+class CompiledModel:
+    """The built model: batched, jitted, params as a pytree."""
+
+    def __init__(self, graph: Graph):
+        self.graph = graph
+        self.params = init_params(graph)
+        self._jit_predict = jax.jit(self._predict_from_quantized)
+        self._jit_inner = jax.jit(self._forward)
+
+    # --- traced bodies ---
+
+    def _forward(self, params, xq):
+        for layer in self.graph.layers:
+            xq = apply_layer(layer, params, xq)
+        return xq
+
+    def _predict_from_quantized(self, params, xq):
+        yq = self._forward(params, xq)
+        return dequantize(yq, self.graph.output_q.scale0, self.graph.output_q.zp0)
+
+    # --- public API (mirrors the reference generated model struct) ---
+
+    def quantize_input(self, x) -> jax.Array:
+        g = self.graph
+        return quantize(
+            jnp.asarray(x, jnp.float32),
+            g.input_q.scale0,
+            g.input_q.zp0,
+            dtype=g.input_dtype.type,
+        )
+
+    def predict(self, x) -> jax.Array:
+        """f32 [B, *input_shape] -> f32 [B, *output_shape]."""
+        return self._jit_predict(self.params, self.quantize_input(x))
+
+    def predict_quantized(self, xq) -> jax.Array:
+        """int [B, *input_shape] -> f32 [B, *output_shape]."""
+        return self._jit_predict(self.params, jnp.asarray(xq))
+
+    def predict_inner(self, xq) -> jax.Array:
+        """int [B, *input_shape] -> int [B, *output_shape]."""
+        return self._jit_inner(self.params, jnp.asarray(xq))
+
+    def expansion(self, batch_size: int = 1) -> str:
+        """Debug artifact: the traced program (reference dumps its macro
+        expansion to ``target/microflow-expansion.rs``)."""
+        g = self.graph
+        xq = jax.ShapeDtypeStruct((batch_size, *g.input_shape), g.input_dtype.type)
+        return str(jax.make_jaxpr(self._predict_from_quantized)(self.params, xq))
+
+
+def build(graph: Graph) -> CompiledModel:
+    return CompiledModel(graph)
+
+
+def compile_tflite(path: str, name: str | None = None) -> CompiledModel:
+    """One-call front door: ``.tflite`` path -> compiled batched model."""
+    from ..frontend.parser import parse
+
+    return build(parse(path, name=name))
