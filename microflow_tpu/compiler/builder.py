@@ -74,17 +74,39 @@ def init_params(graph: Graph) -> dict:
     return params
 
 
-def apply_layer(layer, params: dict, x: jax.Array) -> jax.Array:
-    """Run one IR layer (shared by inference and the training forward)."""
+def apply_layer(layer, params: dict, x: jax.Array, backend: str = "xla") -> jax.Array:
+    """Run one IR layer (shared by inference and the training forward).
+
+    ``backend="xla"`` uses the pure-jnp exact ops; ``backend="pallas"``
+    routes FC / Conv(1x1 and im2col) / DWConv through the fused TPU
+    kernels (identical numerics).
+    """
+    pallas = backend == "pallas"
     if isinstance(layer, FullyConnectedLayer):
         if layer.flatten_input:
             x = reshape_2d(x)
         p = params[f"layer{layer.index}"]
+        bias0 = f32(layer.out_q.zp0) + p["c0"]
+        if pallas:
+            from ..kernels import qgemm
+
+            n = layer.weights.shape[1]
+            return qgemm(
+                x,
+                p["weights"],
+                jnp.full((n,), layer.w_q.zp0, jnp.int32),
+                jnp.int32(layer.c3) - p["c2"],
+                bias0,
+                jnp.full((n,), layer.c1, jnp.float32),
+                activation=layer.activation,
+                out_scale=float(layer.out_q.scale0),
+                out_zp=layer.out_q.zp0,
+            )
         return fully_connected(
             x,
             p["weights"],
             w_zp=layer.w_q.zp0,
-            bias0=f32(layer.out_q.zp0) + p["c0"],
+            bias0=bias0,
             c1=layer.c1,
             c2=p["c2"],
             c3=layer.c3,
@@ -95,14 +117,42 @@ def apply_layer(layer, params: dict, x: jax.Array) -> jax.Array:
     if isinstance(layer, Conv2DLayer):
         p = params[f"layer{layer.index}"]
         num_f = layer.filters.shape[0]
+        w_zp = _broadcast_per_channel(layer.w_q.zero_point, num_f, np.int32)
+        bias0 = f32(layer.out_q.zp0) + p["c0"]
+        c1 = _broadcast_per_channel(layer.c1, num_f, np.float32)
+        if pallas:
+            from ..core.tensor import extract_patches
+            from ..kernels import qgemm
+
+            geom = layer.geom
+            in_zp = layer.in_q.zp0
+            patches = extract_patches(x, geom, pad_value=in_zp)
+            B = x.shape[0]
+            k = layer.filters.shape[1] * layer.filters.shape[2] * layer.filters.shape[3]
+            xg = patches.reshape(B * geom.out_rows * geom.out_cols, k)
+            wg = p["weights"].reshape(num_f, k).T  # [K, F]
+            colsum = jnp.sum(wg.astype(jnp.int32), axis=0)
+            d = jnp.int32(k * in_zp) * jnp.asarray(w_zp) - jnp.int32(in_zp) * colsum
+            y = qgemm(
+                xg,
+                wg,
+                jnp.asarray(w_zp),
+                d,
+                bias0,
+                jnp.asarray(c1),
+                activation=layer.activation,
+                out_scale=float(layer.out_q.scale0),
+                out_zp=layer.out_q.zp0,
+            )
+            return y.reshape(B, geom.out_rows, geom.out_cols, num_f)
         return conv_2d(
             x,
             p["weights"],
             geom=layer.geom,
             in_zp=layer.in_q.zp0,
-            w_zp=_broadcast_per_channel(layer.w_q.zero_point, num_f, np.int32),
-            bias0=f32(layer.out_q.zp0) + p["c0"],
-            c1=_broadcast_per_channel(layer.c1, num_f, np.float32),
+            w_zp=w_zp,
+            bias0=bias0,
+            c1=c1,
             out_scale=layer.out_q.scale0,
             out_zp=layer.out_q.zp0,
             activation=layer.activation,
@@ -110,14 +160,48 @@ def apply_layer(layer, params: dict, x: jax.Array) -> jax.Array:
     if isinstance(layer, DepthwiseConv2DLayer):
         p = params[f"layer{layer.index}"]
         ch = layer.weights.shape[2]
+        w_zp = _broadcast_per_channel(layer.w_q.zero_point, ch, np.int32)
+        bias0 = f32(layer.out_q.zp0) + p["c0"]
+        c1 = _broadcast_per_channel(layer.c1, ch, np.float32)
+        if pallas:
+            from ..kernels import qdwconv
+
+            geom = layer.geom
+            in_zp = layer.in_q.zp0
+            in_c = x.shape[-1]
+            if in_c != ch:
+                # reference channel fallback (depth-multiplier case)
+                chan_idx = np.array([c if c < in_c else 0 for c in range(ch)])
+                x = x[..., chan_idx]
+            top, bottom, left, right = geom.pad_amounts()
+            xp = jnp.pad(
+                x,
+                ((0, 0), (top, bottom), (left, right), (0, 0)),
+                constant_values=np.asarray(in_zp, x.dtype),
+            )
+            wc = p["weights"].astype(jnp.int32) - jnp.asarray(w_zp)[None, None, :]
+            d = -jnp.int32(in_zp) * jnp.sum(wc, axis=(0, 1))
+            return qdwconv(
+                xp,
+                wc,
+                d,
+                bias0,
+                jnp.asarray(c1),
+                kh=geom.k_rows, kw=geom.k_cols,
+                sr=geom.stride_rows, sc=geom.stride_cols,
+                oh=geom.out_rows, ow=geom.out_cols,
+                activation=layer.activation,
+                out_scale=float(layer.out_q.scale0),
+                out_zp=layer.out_q.zp0,
+            )
         return depthwise_conv_2d(
             x,
             p["weights"],
             geom=layer.geom,
             in_zp=layer.in_q.zp0,
-            w_zp=_broadcast_per_channel(layer.w_q.zero_point, ch, np.int32),
-            bias0=f32(layer.out_q.zp0) + p["c0"],
-            c1=_broadcast_per_channel(layer.c1, ch, np.float32),
+            w_zp=w_zp,
+            bias0=bias0,
+            c1=c1,
             out_scale=layer.out_q.scale0,
             out_zp=layer.out_q.zp0,
             activation=layer.activation,
@@ -146,11 +230,17 @@ def apply_layer(layer, params: dict, x: jax.Array) -> jax.Array:
     raise TypeError(f"unknown layer {type(layer)}")
 
 
+def default_backend() -> str:
+    """pallas on TPU, pallas-in-interpreter elsewhere unless overridden."""
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+
 class CompiledModel:
     """The built model: batched, jitted, params as a pytree."""
 
-    def __init__(self, graph: Graph):
+    def __init__(self, graph: Graph, backend: str | None = None):
         self.graph = graph
+        self.backend = backend or default_backend()
         self.params = init_params(graph)
         self._jit_predict = jax.jit(self._predict_from_quantized)
         self._jit_inner = jax.jit(self._forward)
@@ -159,7 +249,7 @@ class CompiledModel:
 
     def _forward(self, params, xq):
         for layer in self.graph.layers:
-            xq = apply_layer(layer, params, xq)
+            xq = apply_layer(layer, params, xq, self.backend)
         return xq
 
     def _predict_from_quantized(self, params, xq):
@@ -197,12 +287,12 @@ class CompiledModel:
         return str(jax.make_jaxpr(self._predict_from_quantized)(self.params, xq))
 
 
-def build(graph: Graph) -> CompiledModel:
-    return CompiledModel(graph)
+def build(graph: Graph, backend: str | None = None) -> CompiledModel:
+    return CompiledModel(graph, backend=backend)
 
 
-def compile_tflite(path: str, name: str | None = None) -> CompiledModel:
+def compile_tflite(path: str, name: str | None = None, backend: str | None = None) -> CompiledModel:
     """One-call front door: ``.tflite`` path -> compiled batched model."""
     from ..frontend.parser import parse
 
-    return build(parse(path, name=name))
+    return build(parse(path, name=name), backend=backend)
