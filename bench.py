@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Flagship benchmark: person_detect (MobileNet-v1 0.25x int8) throughput.
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference MicroFlow Rust engine's best per-chip rate,
+896,216 us per inference on an nRF52840 (BASELINE.md) = 1.1158 inf/s.
+Diagnostics (per-batch latency, MACs/s, parity check) go to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+BASELINE_INF_PER_S = 1.0 / 0.896216  # person_detect, nRF52840, BASELINE.md
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="models/person_detect.tflite")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--backend", default=None, help="pallas|xla (default: auto)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from microflow_tpu import compile_tflite
+    from microflow_tpu.utils.flops import macs_per_inference
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    model = compile_tflite(args.model, name="person_detect", backend=args.backend)
+    macs = macs_per_inference(model.graph)
+    log(f"model: {args.model} ({len(model.graph.layers)} layers, {macs/1e6:.2f} MMACs/inference)")
+
+    # parity guard: golden output must match the Rust reference bit-for-bit
+    golden = np.asarray(model.predict(np.full((1, 96, 96, 1), 0.5, np.float32)))
+    expected = np.array([[0.8046875, 0.1953125]], np.float32)
+    if not np.array_equal(golden, expected):
+        log(f"PARITY FAILURE: {golden} != {expected}")
+        print(json.dumps({"metric": "person_detect_parity", "value": 0, "unit": "bool", "vs_baseline": 0}))
+        return 1
+    log("parity: golden output bit-exact vs Rust reference")
+
+    # NOTE: under the axon relay, block_until_ready() returns before remote
+    # execution completes, so we (a) chain each batch's input on the
+    # previous output to force serialization and (b) end with a scalar
+    # host readback as the true barrier.
+    @jax.jit
+    def chain(params, xq):
+        yq = model._forward(params, xq)
+        bump = yq.reshape(yq.shape[0], -1)[:, :1]
+        bump = bump.reshape(bump.shape + (1,) * (xq.ndim - bump.ndim))
+        return (xq + bump).astype(xq.dtype), yq
+
+    B = args.batch
+    key = jax.random.PRNGKey(0)
+    xq = jax.random.randint(key, (B, *model.graph.input_shape), -128, 128, dtype=jnp.int8)
+    xq = jax.device_put(xq)
+
+    # warmup / compile
+    t0 = time.time()
+    x, y = chain(model.params, xq)
+    _ = int(y.reshape(-1)[0])
+    log(f"compile+warmup: {time.time()-t0:.1f}s (batch={B})")
+
+    # steady-state wall throughput over a serialized chain of batches
+    t0 = time.time()
+    for _ in range(args.iters):
+        x, y = chain(model.params, x)
+    _ = int(y.reshape(-1)[0])  # host readback = real barrier
+    dt = (time.time() - t0) / args.iters
+    inf_per_s = B / dt
+    log(
+        f"batch={B}: {dt*1e3:.3f} ms/batch, {inf_per_s:,.0f} inf/s/chip, "
+        f"{macs*inf_per_s/1e12:.2f} TMAC/s ({2*macs*inf_per_s/394e12*100:.1f}% of v5e int8 peak)"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "person_detect_inferences_per_sec_per_chip",
+                "value": round(inf_per_s, 1),
+                "unit": "inferences/s",
+                "vs_baseline": round(inf_per_s / BASELINE_INF_PER_S, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

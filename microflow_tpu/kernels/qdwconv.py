@@ -94,13 +94,16 @@ def qdwconv(
     six = quantize_scalar(6.0, out_scale, out_zp) if activation is FusedActivation.RELU6 else 0
 
     tile_c = min(tile_c, round_up(C, 128))
-    tile_b = min(tile_b, B)
-    Bp, Cp = round_up(B, tile_b), round_up(C, tile_c)
     # phase planes must each cover (kh-1)//sr + oh rows ((kw-1)//sc + ow
     # cols); pad the source so every phase has that many (padding values
     # land outside every window and are never read)
     h2 = max(cdiv(HP, sr), (kh - 1) // sr + oh)
     w2 = max(cdiv(WP, sc), (kw - 1) // sc + ow)
+    # VMEM-aware batch tile: input block + ~3 i32 output-sized temps per
+    # sample must fit the ~16 MB VMEM (leave headroom for double buffering)
+    per_sample = sr * sc * h2 * w2 * tile_c + 3 * 4 * oh * ow * tile_c
+    tile_b = max(1, min(tile_b, B, (10 * 2**20) // per_sample))
+    Bp, Cp = round_up(B, tile_b), round_up(C, tile_c)
     xpp = jnp.pad(xp, ((0, Bp - B), (0, sr * h2 - HP), (0, sc * w2 - WP), (0, Cp - C)))
     phases = jnp.stack(
         [xpp[:, a::sr, b::sc, :] for a in range(sr) for b in range(sc)], axis=0

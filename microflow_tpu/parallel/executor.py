@@ -1,0 +1,104 @@
+"""Batch-sharded serving executor with continuous admission.
+
+Where the reference runs one sample per `predict()` call on one MCU core
+(``examples/sine_train.rs:36-84``), this executor accepts requests
+continuously, coalesces them into power-of-two buckets, and dispatches
+each bucket as one batch-sharded jit call over the device mesh -- weights
+replicated, batch dim split across the ``data`` axis.  JAX dispatch is
+async, so admission of batch N+1 overlaps device execution of batch N.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import jax
+import numpy as np
+
+from .mesh import batch_sharding, make_mesh, replicate_params, replicated
+
+
+class BatchServer:
+    def __init__(
+        self,
+        model,
+        mesh=None,
+        max_batch: int = 1024,
+        max_wait_ms: float = 2.0,
+    ):
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.params = replicate_params(self.mesh, model.params)
+        ndim = 1 + len(model.graph.input_shape)
+        self._predict = jax.jit(
+            model._predict_from_quantized,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh, ndim)),
+            out_shardings=batch_sharding(self.mesh, 1 + len(model.graph.output_shape)),
+        )
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # --- client API ---
+
+    def submit(self, x: np.ndarray) -> Future:
+        """Enqueue a [b, *input_shape] f32 request; resolves to f32 output."""
+        fut: Future = Future()
+        xq = np.asarray(self.model.quantize_input(np.asarray(x, np.float32)))
+        self._queue.put((xq, fut))
+        return fut
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return self.submit(x).result()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # --- admission loop ---
+
+    def _bucket(self, n: int) -> int:
+        b = max(self.mesh.devices.size, 1)
+        while b < n and b < self.max_batch:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            total = first[0].shape[0]
+            deadline = self.max_wait_s
+            # coalesce whatever arrives within the admission window
+            while total < self.max_batch:
+                try:
+                    item = self._queue.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                batch.append(item)
+                total += item[0].shape[0]
+            xs = np.concatenate([b[0] for b in batch])
+            bucket = self._bucket(xs.shape[0])
+            pad = bucket - xs.shape[0] if xs.shape[0] < bucket else 0
+            if pad:
+                xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
+            try:
+                ys = self._predict(self.params, jax.device_put(xs))
+                ys = np.asarray(ys)
+                off = 0
+                for xq, fut in batch:
+                    n = xq.shape[0]
+                    fut.set_result(ys[off : off + n])
+                    off += n
+            except Exception as e:  # surface errors to every waiter
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)

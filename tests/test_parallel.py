@@ -1,0 +1,65 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: batch sharding
+must be numerically invisible and the serving executor must return
+per-request results identical to direct predict calls."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from microflow_tpu import compile_tflite
+from microflow_tpu.parallel import BatchServer, make_mesh, replicate_params, shard_batch
+from microflow_tpu.parallel.mesh import batch_sharding, replicated
+
+MODELS = os.path.join(os.path.dirname(__file__), "..", "models")
+
+
+@pytest.fixture(scope="module")
+def sine():
+    return compile_tflite(os.path.join(MODELS, "sine.tflite"), name="sine")
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_batch_sharded_predict_matches_single_device(sine):
+    mesh = make_mesh()
+    xs = np.linspace(0.0, 2 * np.pi, 64, dtype=np.float32).reshape(-1, 1)
+    xq = sine.quantize_input(xs)
+    params = replicate_params(mesh, sine.params)
+    sharded = jax.jit(
+        sine._predict_from_quantized,
+        in_shardings=(replicated(mesh), batch_sharding(mesh, 2)),
+        out_shardings=batch_sharding(mesh, 2),
+    )
+    out = np.asarray(sharded(params, shard_batch(mesh, np.asarray(xq))))
+    ref = np.asarray(sine.predict(xs))
+    assert np.array_equal(out, ref)
+
+
+def test_mesh_with_model_axis(sine):
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_batch_server_roundtrip(sine):
+    server = BatchServer(sine, max_batch=64, max_wait_ms=1.0)
+    try:
+        xs = np.linspace(0.0, 2 * np.pi, 40, dtype=np.float32).reshape(-1, 1)
+        futs = [server.submit(xs[i : i + 5]) for i in range(0, 40, 5)]
+        got = np.concatenate([f.result(timeout=60) for f in futs])
+        ref = np.asarray(sine.predict(xs))
+        assert np.array_equal(got, ref)
+    finally:
+        server.stop()
+
+
+def test_batch_server_golden(sine):
+    server = BatchServer(sine, max_batch=16)
+    try:
+        out = server.predict(np.array([[0.5]], np.float32))
+        assert out[0, 0] == np.float32(0.41348344)
+    finally:
+        server.stop()
