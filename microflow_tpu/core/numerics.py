@@ -48,9 +48,14 @@ def saturating_cast(x: jax.Array, dtype) -> jax.Array:
 
 def saturating_add_i32(a: jax.Array, b: jax.Array) -> jax.Array:
     """i32 saturating add (reference ``accumulate_gradient_4D``,
-    ``src/update_layer.rs:289``)."""
-    wide = a.astype(jnp.int64) + b.astype(jnp.int64)
-    return jnp.clip(wide, -(2**31), 2**31 - 1).astype(jnp.int32)
+    ``src/update_layer.rs:289``).  Pure-int32 overflow detection (JAX
+    demotes int64 without x64 mode)."""
+    a = a.astype(jnp.int32)
+    b = b.astype(jnp.int32)
+    s = a + b  # wrapping
+    overflow = ((a >= 0) == (b >= 0)) & ((s >= 0) != (a >= 0))
+    sat = jnp.where(a >= 0, jnp.int32(2**31 - 1), jnp.int32(-(2**31)))
+    return jnp.where(overflow, sat, s)
 
 
 def saturating_sub_int(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -1,0 +1,204 @@
+"""Integer backward kernels (reference R13-R15, R17:
+``src/gradient_fully_connected.rs``, ``gradient_conv_2d.rs``,
+``gradient_depthwise_conv_2d.rs``, ``gradient_average_pool.rs``).
+
+Gradients flow between layers as raw i32 quantized-domain deltas.
+Activation masking is straight-through: outputs that a fused ReLU/ReLU6
+pinned to the rail pass no gradient.
+
+Reference quirks replicated on purpose (cited at each site):
+
+* FC *input* gradients mask on the RAW quantized output (> 0), while
+  weight/bias gradients mask on ``output - zero_point``;
+* conv gradients are normalized per *sample* by sums of |dOut| (per
+  weight-tap for conv, one scalar for depthwise) and rounded before a
+  saturating i32 accumulation across the batch -- so the batched form
+  runs the per-sample math under vmap and folds in batch order;
+* 0/0 normalization produces NaN in Rust, which casts to 0 via ``as``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..compiler.ir import (
+    AveragePool2DLayer,
+    Conv2DLayer,
+    DepthwiseConv2DLayer,
+    FullyConnectedLayer,
+)
+from ..core.activation import FusedActivation, quantize_scalar
+from ..core.numerics import f32, round_away, saturating_sub_int
+from ..core.tensor import extract_patches
+
+
+def _sat_cast_nan0(x: jax.Array, dtype) -> jax.Array:
+    """Rust ``as`` from f32: saturating, NaN -> 0."""
+    info = jnp.iinfo(dtype)
+    y = jnp.where(jnp.isnan(x), 0.0, jnp.clip(x, info.min, info.max))
+    return y.astype(dtype)
+
+
+def activity_mask(out_q, activation: FusedActivation, out_scale, out_zp, *, raw: bool):
+    """Which outputs pass gradient.  ``raw=True`` replicates the FC
+    input-grad quirk (``gradient_fully_connected.rs:171-177``: compares
+    the raw quantized output, not output - zp)."""
+    if activation is FusedActivation.NONE:
+        return jnp.ones(out_q.shape, bool)
+    val = out_q if raw else saturating_sub_int(out_q, jnp.asarray(out_zp, out_q.dtype))
+    if activation is FusedActivation.RELU:
+        return val > 0
+    q6 = quantize_scalar(6.0, out_scale, out_zp, np.dtype(out_q.dtype))
+    return (val > 0) & (val < jnp.asarray(q6, val.dtype))
+
+
+# --- FullyConnected ---------------------------------------------------------
+
+
+def fc_backward(layer: FullyConnectedLayer, x_q, out_q, weights, d_out):
+    """Returns (dW i32 [K,N] summed over batch, bias_grad f32 [N], dIn i32 [B,K]).
+
+    Reference ``update_grad_fully_connected`` (``gradient_fully_connected.rs:11-61``).
+    """
+    act, os_, oz = layer.activation, layer.out_q.scale0, layer.out_q.zp0
+    mask_w = activity_mask(out_q, act, os_, oz, raw=False)
+    md_w = jnp.where(mask_w, d_out, 0)
+    xc = x_q.astype(jnp.int32) - jnp.int32(layer.in_q.zp0)
+    dW = lax.dot(xc.T, md_w, preferred_element_type=jnp.int32)  # [K, N]
+    bias_grad = f32(jnp.sum(md_w, axis=0))  # [N]
+    mask_in = activity_mask(out_q, act, os_, oz, raw=True)
+    md_in = jnp.where(mask_in, d_out, 0)
+    wc = weights.astype(jnp.int32) - jnp.int32(layer.w_q.zp0)
+    d_in = lax.dot(md_in, wc.T, preferred_element_type=jnp.int32)  # [B, K]
+    return dW, bias_grad, d_in
+
+
+# --- Conv2D -----------------------------------------------------------------
+
+
+def conv_backward_sample(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_vec):
+    """Per-sample conv gradients (``gradient_conv_2d.rs``).
+
+    x_q [H,W,C], out_q/d_out [OH,OW,F] -> (dW_q int8 [F,KH,KW,C],
+    bias_grad f32 [F], dIn i32 [H,W,C])."""
+    geom = layer.geom
+    act, os_, oz = layer.activation, layer.out_q.scale0, layer.out_q.zp0
+    in_zp = layer.in_q.zp0
+    F_, KH, KW, C = layer.filters.shape
+    mask = activity_mask(out_q, act, os_, oz, raw=False)
+    md = jnp.where(mask, d_out, 0)  # [OH, OW, F] i32
+    amd = jnp.abs(md)
+
+    # weights gradient, normalized per tap by sum of |dOut| where valid
+    patches = extract_patches(x_q[None], geom, pad_value=in_zp)[0]  # [OH,OW,KH,KW,C]
+    centered = patches.astype(jnp.int32) - jnp.int32(in_zp)
+    dw_acc = jnp.einsum("ijmnc,ijf->fmnc", centered, md)
+    valid = jnp.asarray(geom.valid_mask_plane(), jnp.int32)  # [OH,OW,KH,KW]
+    norm_w = jnp.einsum("ijmn,ijf->fmn", valid, amd)  # [F,KH,KW]
+    dw_q = _sat_cast_nan0(round_away(f32(dw_acc) / f32(norm_w)[..., None]), jnp.int8)
+
+    # bias gradient: masked sum / signed total (``gradient_conv_2d.rs:251-301``)
+    norm_b = jnp.sum(f32(d_out))
+    bias_grad = f32(jnp.sum(md, axis=(0, 1))) / norm_b  # [F]
+
+    # input gradient: transpose-scatter of masked dOut through centered
+    # weights, per-element normalization by the same |dOut| scatter
+    top, bottom, left, right = geom.pad_amounts()
+    H, W = geom.in_rows, geom.in_cols
+    hp = max(H + top + bottom, KH + geom.stride_rows * (geom.out_rows - 1))
+    wp = max(W + left + right, KW + geom.stride_cols * (geom.out_cols - 1))
+    wc = weights.astype(jnp.int32) - jnp.asarray(w_zp_vec, jnp.int32)[:, None, None, None]
+    d_inp = jnp.zeros((hp, wp, C), jnp.int32)
+    norm_inp = jnp.zeros((hp, wp, 1), jnp.int32)
+    amd_f = jnp.sum(amd, axis=-1, keepdims=True)  # [OH,OW,1]
+    sr, sc = geom.stride_rows, geom.stride_cols
+    oh, ow = geom.out_rows, geom.out_cols
+    for m in range(KH):
+        for n in range(KW):
+            contrib = jnp.einsum("ijf,fc->ijc", md, wc[:, m, n, :])
+            d_inp = d_inp.at[m : m + sr * oh : sr, n : n + sc * ow : sc, :].add(contrib)
+            norm_inp = norm_inp.at[m : m + sr * oh : sr, n : n + sc * ow : sc, :].add(amd_f)
+    d_in_acc = d_inp[top : top + H, left : left + W]
+    norm_in = norm_inp[top : top + H, left : left + W]
+    d_in = _sat_cast_nan0(round_away(f32(d_in_acc) / f32(norm_in)), jnp.int32)
+    return dw_q, bias_grad, d_in
+
+
+# --- DepthwiseConv2D --------------------------------------------------------
+
+
+def dwconv_backward_sample(layer: DepthwiseConv2DLayer, x_q, out_q, weights, d_out, w_zp_vec):
+    """Per-sample depthwise gradients (``gradient_depthwise_conv_2d.rs``).
+
+    Requires IN_C == CH (the reference's gradient code indexes out of
+    bounds for the depth-multiplier case and is never exercised there).
+    """
+    geom = layer.geom
+    act, os_, oz = layer.activation, layer.out_q.scale0, layer.out_q.zp0
+    in_zp = layer.in_q.zp0
+    KH, KW, CH = layer.weights.shape
+    if x_q.shape[-1] != CH:
+        raise NotImplementedError(
+            "depthwise training with depth multiplier != 1 (reference panics here too)"
+        )
+    # scalar normalization over ALL |dOut|, unmasked (lines 103-109/190-196)
+    norm = jnp.sum(jnp.abs(f32(d_out)))
+    mask = activity_mask(out_q, act, os_, oz, raw=False)
+    md = jnp.where(mask, d_out, 0)  # [OH,OW,CH]
+
+    patches = extract_patches(x_q[None], geom, pad_value=in_zp)[0]  # [OH,OW,KH,KW,CH]
+    centered = patches.astype(jnp.int32) - jnp.int32(in_zp)
+    dw_acc = jnp.einsum("ijmnc,ijc->mnc", centered, md)  # [KH,KW,CH]
+    dw_q = _sat_cast_nan0(round_away(f32(dw_acc) / norm), jnp.int8)
+
+    # bias: saturating per-pixel adds in the reference; plain sum here
+    # (magnitudes are far from i32 range in practice)
+    bias_grad = f32(jnp.sum(md, axis=(0, 1)))  # [CH]
+
+    top, bottom, left, right = geom.pad_amounts()
+    H, W = geom.in_rows, geom.in_cols
+    hp = max(H + top + bottom, KH + geom.stride_rows * (geom.out_rows - 1))
+    wp = max(W + left + right, KW + geom.stride_cols * (geom.out_cols - 1))
+    wc = weights.astype(jnp.int32) - jnp.asarray(w_zp_vec, jnp.int32)[None, None, :]
+    d_inp = jnp.zeros((hp, wp, CH), jnp.int32)
+    sr, sc = geom.stride_rows, geom.stride_cols
+    oh, ow = geom.out_rows, geom.out_cols
+    for m in range(KH):
+        for n in range(KW):
+            d_inp = d_inp.at[m : m + sr * oh : sr, n : n + sc * ow : sc, :].add(
+                md * wc[None, None, m, n, :].reshape(1, 1, CH)
+            )
+    d_in_acc = d_inp[top : top + H, left : left + W]
+    d_in = _sat_cast_nan0(round_away(f32(d_in_acc) / norm), jnp.int32)
+    return dw_q, bias_grad, d_in
+
+
+# --- AveragePool2D ----------------------------------------------------------
+
+
+def avgpool_backward_sample(layer: AveragePool2DLayer, out_q, d_out):
+    """Per-sample scatter of dOut to every contributing input position
+    (``gradient_average_pool.rs:10-73``).  out_q/d_out [OH,OW,C] ->
+    dIn i32 [H,W,C]."""
+    geom = layer.geom
+    mask = activity_mask(
+        out_q, layer.activation, layer.out_q.scale0, layer.out_q.zp0, raw=False
+    )
+    md = jnp.where(mask, d_out, 0)
+    top, bottom, left, right = geom.pad_amounts()
+    H, W, C = geom.in_rows, geom.in_cols, d_out.shape[-1]
+    KH, KW = geom.k_rows, geom.k_cols
+    hp = max(H + top + bottom, KH + geom.stride_rows * (geom.out_rows - 1))
+    wp = max(W + left + right, KW + geom.stride_cols * (geom.out_cols - 1))
+    d_inp = jnp.zeros((hp, wp, C), jnp.int32)
+    sr, sc = geom.stride_rows, geom.stride_cols
+    oh, ow = geom.out_rows, geom.out_cols
+    for m in range(KH):
+        for n in range(KW):
+            d_inp = d_inp.at[m : m + sr * oh : sr, n : n + sc * ow : sc, :].add(md)
+    return d_inp[top : top + H, left : left + W]

@@ -1,0 +1,117 @@
+"""Integer SGD update family (reference R16, ``src/update_layer.rs``).
+
+Numeric fidelity notes (all replicated exactly):
+
+* ``update_weights_2D``/``_4D`` round the step (`.round()` = half away
+  from zero) before the saturating f32->int cast;
+* ``update_weights_clip_norm_2D`` (the variant the train codegen actually
+  emits) does NOT round -- Rust's ``as`` float->int TRUNCATES toward zero;
+  its norm uses *integer* division ``g / batch`` per element, squares in
+  wrapping i32, accumulates in f32;
+* weight subtraction is saturating in the weight dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.numerics import f32, round_away, saturating_add_i32, saturating_sub_int
+
+
+def _sat_cast_trunc(x: jax.Array, dtype) -> jax.Array:
+    """Rust ``as`` from f32 to int: truncate toward zero, saturate, NaN->0."""
+    info = jnp.iinfo(dtype)
+    t = jnp.trunc(x)
+    t = jnp.where(jnp.isnan(t), 0.0, jnp.clip(t, info.min, info.max))
+    return t.astype(dtype)
+
+
+def _sat_cast_round(x: jax.Array, dtype) -> jax.Array:
+    """`.round()` then ``as``: half-away round, saturate, NaN->0."""
+    return _sat_cast_trunc(round_away(x), dtype)
+
+
+def update_weights_2d(weights, grad_i32, batch_size: int, lr: float):
+    """Plain SGD (``update_layer.rs:13-27``)."""
+    delta = _sat_cast_round(jnp.float32(lr) * f32(grad_i32) / jnp.float32(batch_size), weights.dtype)
+    return saturating_sub_int(weights, delta)
+
+
+def update_weights_max_2d(weights, grad_i32, batch_size: int, lr: float):
+    """Max-rescaled SGD (``update_layer.rs:69-94``)."""
+    mx = jnp.max(jnp.abs(grad_i32))
+    scale = jnp.float32(127.0) * jnp.float32(batch_size) / f32(mx)
+    delta = _sat_cast_trunc(
+        jnp.float32(lr) * f32(grad_i32) * scale / jnp.float32(batch_size), weights.dtype
+    )
+    return saturating_sub_int(weights, delta)
+
+
+def update_weights_clip_2d(weights, grad_i32, batch_size: int, lr: float):
+    """Clip-at-127x-min SGD (``update_layer.rs:95-129``)."""
+    a = jnp.abs(grad_i32)
+    min_val = jnp.min(jnp.where(a > 0, a, jnp.int32(2**31 - 1)))
+    scale = jnp.float32(batch_size) / f32(min_val)
+    clip_value = f32(min_val) * jnp.float32(127.0)
+    g = f32(grad_i32)
+    clipped = jnp.where(jnp.abs(g) < clip_value, g, clip_value * jnp.sign(g))
+    delta = _sat_cast_trunc(jnp.float32(lr) * clipped * scale / jnp.float32(batch_size), weights.dtype)
+    return saturating_sub_int(weights, delta)
+
+
+def update_weights_clip_norm_2d(weights, grad_i32, batch_size: int, lr: float):
+    """Norm-clipped SGD -- THE variant the FC train codegen emits
+    (``update_layer.rs:130-157``;
+    ``microflow-train-macros/src/ops/fully_connected.rs:340``)."""
+    # Rust i32 division truncates toward zero (jnp // floors):
+    per = jnp.sign(grad_i32) * (jnp.abs(grad_i32) // jnp.int32(batch_size))
+    sq = per * per  # wrapping i32, as in the reference
+    norm = jnp.sqrt(jnp.sum(f32(sq)))
+    scale = jnp.where(norm > 127.0, jnp.float32(1024.0) / norm, jnp.float32(1.0))
+    delta = _sat_cast_trunc(
+        jnp.float32(lr) * f32(grad_i32) * scale / jnp.float32(batch_size), weights.dtype
+    )
+    return saturating_sub_int(weights, delta)
+
+
+def update_weights_perc_2d(weights, grad_i32, batch_size: int, lr: float, perc: int):
+    """Top-``perc``-|g| update (``update_layer.rs:28-68``)."""
+    flat = jnp.abs(grad_i32).reshape(-1)
+    vals, idx = lax.top_k(flat, perc)
+    mx = vals[0]
+    scale = jnp.float32(127.0) * jnp.float32(batch_size) / f32(mx)
+    g = f32(grad_i32.reshape(-1)[idx])
+    delta = _sat_cast_trunc(jnp.float32(lr) * g * scale / jnp.float32(batch_size), weights.dtype)
+    w = weights.reshape(-1)
+    w = w.at[idx].set(saturating_sub_int(w[idx], delta))
+    return w.reshape(weights.shape)
+
+
+def update_weights_2d_float(weights_f32, grad_f32, batch_size: int, lr: float):
+    """f32 update for the folded bias constants C0
+    (``update_layer.rs:158-169``)."""
+    return weights_f32 - jnp.float32(lr) * grad_f32 / jnp.float32(batch_size)
+
+
+# 4D variants share the elementwise math (shape-agnostic in JAX)
+update_weights_4d = update_weights_2d
+update_weights_perc_4d = update_weights_perc_2d
+
+
+def update_constants_fully_connected(weights, in_zp: int) -> jax.Array:
+    """Re-fold C2 = in_zp * colsum(W) after a weight update
+    (``update_layer.rs:199-214``)."""
+    return (jnp.sum(weights.astype(jnp.int32), axis=0) * jnp.int32(in_zp)).astype(jnp.int32)
+
+
+def accumulate_gradient_2d(current, accum_i32):
+    """Plain wrapping i32 accumulation (``update_layer.rs:261-271``)."""
+    return accum_i32 + current.astype(jnp.int32)
+
+
+def accumulate_gradient_4d(current, accum_i32):
+    """Saturating i32 accumulation (``update_layer.rs:273-294``)."""
+    return saturating_add_i32(accum_i32, current.astype(jnp.int32))

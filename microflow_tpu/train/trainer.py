@@ -1,0 +1,277 @@
+"""TrainableModel: the generated-train-struct equivalent (reference T1,
+``microflow-train-macros/src/lib.rs:53-270``).
+
+``TrainableModel(graph, num_train_layers, loss, skip_last_layer_train)``
+mirrors ``#[model(path, num_train_layers, loss, skip_last_layer_train)]``:
+the last ``num_train_layers`` operators form the trainable suffix (the
+frozen prefix runs plain inference); ``skip_last_layer_train`` excludes
+the final operator (typically SOFTMAX) from backward/update while the
+loss is computed on the tensor *before* it.
+
+API parity:
+* ``predict(x)`` / ``predict_quantized(x)`` -- inference
+* ``predict_train(x, gt_q, lr)`` -- forward + backward, accumulates
+  integer gradients (state on the object, like the generated struct's
+  ``weightsN_gradient`` fields), returns the dequantized pre-loss output
+* ``update_layers(batch_size, lr)`` -- clip-norm SGD on FC weights,
+  plain SGD on conv/dwconv weights, f32 step on the folded bias C0,
+  re-fold of FC's C2, gradient zeroing
+
+The whole train step is one jitted function; gradient state is a pytree,
+so it shards/donates like params.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler.builder import CompiledModel, apply_layer
+from ..compiler.ir import (
+    AveragePool2DLayer,
+    Conv2DLayer,
+    DepthwiseConv2DLayer,
+    FullyConnectedLayer,
+    Graph,
+    ReshapeLayer,
+    SoftmaxLayer,
+)
+from ..compiler.builder import _broadcast_per_channel
+from ..core.numerics import f32
+from ..core.quantize import dequantize
+from ..core.tensor import reshape_2d
+from . import gradients, losses, optimizer
+
+
+class TrainableModel(CompiledModel):
+    def __init__(
+        self,
+        graph: Graph,
+        num_train_layers: int,
+        loss: str = "mse",
+        skip_last_layer_train: bool = False,
+        backend: str | None = None,
+    ):
+        super().__init__(graph, backend=backend)
+        if loss not in ("mse", "crossentropy"):
+            raise NotImplementedError(f"loss {loss!r}")
+        self.loss = loss
+        n = len(graph.layers)
+        self.train_indices = [l.index for l in graph.layers[n - num_train_layers :]]
+        self.backward_indices = list(self.train_indices)
+        if skip_last_layer_train and self.backward_indices:
+            self.backward_indices = self.backward_indices[:-1]
+        # loss reads the output of the last *backward* layer
+        # (``lib.rs:209-215``)
+        self.loss_index = self.backward_indices[-1] if self.backward_indices else None
+        self.grads = self._init_grads()
+        self._jit_train = jax.jit(self._train_step)
+        self._jit_update = jax.jit(self._update_step, static_argnames=("batch_size", "lr"))
+
+    # --- gradient state (the generated struct's *_gradient fields) ---
+
+    def _init_grads(self) -> dict:
+        grads = {}
+        for layer in self.graph.layers:
+            if layer.index not in self.backward_indices:
+                continue
+            if isinstance(layer, FullyConnectedLayer):
+                grads[f"layer{layer.index}"] = {
+                    "weights_gradient": jnp.zeros(layer.weights.shape, jnp.int32),
+                    "c0_gradient": jnp.zeros(layer.c0.shape, jnp.float32),
+                }
+            elif isinstance(layer, Conv2DLayer):
+                grads[f"layer{layer.index}"] = {
+                    "weights_gradient": jnp.zeros(layer.filters.shape, jnp.int32),
+                    "c0_gradient": jnp.zeros(layer.c0.shape, jnp.float32),
+                }
+            elif isinstance(layer, DepthwiseConv2DLayer):
+                grads[f"layer{layer.index}"] = {
+                    "weights_gradient": jnp.zeros(layer.weights.shape, jnp.int32),
+                    "c0_gradient": jnp.zeros(layer.c0.shape, jnp.float32),
+                }
+        return grads
+
+    # --- traced training step ---
+
+    def _train_step(self, params, grads, xq, gt_q):
+        graph = self.graph
+        # forward, saving (input, output) of every backward layer
+        acts = {}
+        x = xq
+        for layer in graph.layers:
+            y = apply_layer(layer, params, x, self.backend)
+            if layer.index in self.backward_indices or layer.index == self.loss_index:
+                acts[layer.index] = (x, y)
+            x = y
+        final = x
+        loss_out = acts[self.loss_index][1]
+
+        # initial backward gradient from the loss (T9)
+        if self.loss == "mse":
+            g = losses.mse_grad(loss_out, gt_q)
+        else:
+            loss_layer = graph.layers[self.loss_index]
+            g = losses.crossentropy_grad(
+                loss_out,
+                graph.output_q.scale0,
+                graph.output_q.zp0,
+                gt_q,
+                in_scale=loss_layer.out_q.scale0,
+            )
+
+        # backward in reverse layer order (T1's token prepending)
+        new_grads = dict(grads)
+        for layer in reversed([graph.layers[i] for i in self.backward_indices]):
+            lg = dict(new_grads.get(f"layer{layer.index}", {}))
+            x_in, y_out = acts[layer.index]
+            if isinstance(layer, FullyConnectedLayer):
+                x2 = reshape_2d(x_in) if layer.flatten_input else x_in
+                dW, bias_grad, g = gradients.fc_backward(
+                    layer, x2, y_out, params[f"layer{layer.index}"]["weights"], g
+                )
+                lg["weights_gradient"] = optimizer.accumulate_gradient_2d(
+                    dW, lg["weights_gradient"]
+                )
+                lg["c0_gradient"] = lg["c0_gradient"] + bias_grad
+                if layer.flatten_input:
+                    g = g.reshape(x_in.shape)
+            elif isinstance(layer, Conv2DLayer):
+                w_zp = _broadcast_per_channel(
+                    layer.w_q.zero_point, layer.filters.shape[0], np.int32
+                )
+                fn = functools.partial(
+                    gradients.conv_backward_sample,
+                    layer,
+                    weights=params[f"layer{layer.index}"]["weights"],
+                    w_zp_vec=w_zp,
+                )
+                dW_b, _bias_b, g = jax.vmap(lambda xi, yi, gi: fn(xi, yi, d_out=gi))(
+                    x_in, y_out, g
+                )
+                # per-sample saturating accumulation, in batch order
+                lg["weights_gradient"] = jax.lax.fori_loop(
+                    0,
+                    dW_b.shape[0],
+                    lambda i, acc: optimizer.accumulate_gradient_4d(dW_b[i], acc),
+                    lg["weights_gradient"],
+                )
+                # conv bias update is disabled in the reference
+                # (gradient_conv_2d.rs:63 commented out)
+            elif isinstance(layer, DepthwiseConv2DLayer):
+                w_zp = _broadcast_per_channel(
+                    layer.w_q.zero_point, layer.weights.shape[2], np.int32
+                )
+                fn = functools.partial(
+                    gradients.dwconv_backward_sample,
+                    layer,
+                    weights=params[f"layer{layer.index}"]["weights"],
+                    w_zp_vec=w_zp,
+                )
+                dW_b, bias_b, g = jax.vmap(lambda xi, yi, gi: fn(xi, yi, d_out=gi))(
+                    x_in, y_out, g
+                )
+                lg["weights_gradient"] = jax.lax.fori_loop(
+                    0,
+                    dW_b.shape[0],
+                    lambda i, acc: optimizer.accumulate_gradient_4d(dW_b[i], acc),
+                    lg["weights_gradient"],
+                )
+                lg["c0_gradient"] = lg["c0_gradient"] + jnp.sum(bias_b, axis=0)
+            elif isinstance(layer, AveragePool2DLayer):
+                g = jax.vmap(
+                    lambda yi, gi: gradients.avgpool_backward_sample(layer, yi, gi)
+                )(y_out, g)
+            elif isinstance(layer, (ReshapeLayer, SoftmaxLayer)):
+                if isinstance(layer, ReshapeLayer):
+                    g = g.reshape(x_in.shape)  # T8: reshape the gradient
+                # softmax: forward-only even in train mode (T7)
+            if lg:
+                new_grads[f"layer{layer.index}"] = lg
+        return final, loss_out, new_grads
+
+    # --- traced update step (T3-T5 update_ops) ---
+
+    def _update_step(self, params, grads, *, batch_size: int, lr: float):
+        new_params = dict(params)
+        new_grads = dict(grads)
+        for i in self.backward_indices:
+            layer = self.graph.layers[i]
+            key = f"layer{i}"
+            if key not in grads:
+                continue
+            p, g = dict(new_params[key]), dict(new_grads[key])
+            if isinstance(layer, FullyConnectedLayer):
+                p["weights"] = optimizer.update_weights_clip_norm_2d(
+                    p["weights"], g["weights_gradient"], batch_size, lr
+                )
+                p["c0"] = optimizer.update_weights_2d_float(
+                    p["c0"], g["c0_gradient"], batch_size, lr
+                )
+                p["c2"] = optimizer.update_constants_fully_connected(
+                    p["weights"], layer.in_q.zp0
+                )
+            elif isinstance(layer, (Conv2DLayer, DepthwiseConv2DLayer)):
+                p["weights"] = optimizer.update_weights_4d(
+                    p["weights"], g["weights_gradient"], batch_size, lr
+                )
+                p["c0"] = optimizer.update_weights_2d_float(
+                    p["c0"], g["c0_gradient"], batch_size, lr
+                )
+            g["weights_gradient"] = jnp.zeros_like(g["weights_gradient"])
+            g["c0_gradient"] = jnp.zeros_like(g["c0_gradient"])
+            new_params[key], new_grads[key] = p, g
+        return new_params, new_grads
+
+    # --- public API (mirrors the generated train struct) ---
+
+    def predict_train(self, x, gt_q, learning_rate: float = 0.0):
+        """f32 input + quantized ground truth -> dequantized pre-loss
+        output.  Accumulates gradients on the object (like the generated
+        struct's mutable fields)."""
+        xq = self.quantize_input(x)
+        return self.predict_quantized_train(xq, gt_q, learning_rate)
+
+    def predict_quantized_train(self, xq, gt_q, learning_rate: float = 0.0):
+        final, loss_out, self.grads = self._jit_train(
+            self.params, self.grads, jnp.asarray(xq), jnp.asarray(gt_q)
+        )
+        loss_layer = self.graph.layers[self.loss_index]
+        return dequantize(loss_out, loss_layer.out_q.scale0, loss_layer.out_q.zp0)
+
+    def update_layers(self, batch_size: int, learning_rate: float):
+        self.params, self.grads = self._jit_update(
+            self.params, self.grads, batch_size=batch_size, lr=learning_rate
+        )
+
+    def quantize_target(self, y) -> jax.Array:
+        """Quantize a float target with the loss tensor's output params
+        (the examples do this by hand, ``sine_train.rs:41-46``)."""
+        from ..core.quantize import quantize
+
+        layer = self.graph.layers[self.loss_index]
+        return quantize(
+            jnp.asarray(y, jnp.float32),
+            layer.out_q.scale0,
+            layer.out_q.zp0,
+            dtype=self.graph.output_dtype.type,
+        )
+
+
+def compile_tflite_train(
+    path: str,
+    num_train_layers: int,
+    loss: str = "mse",
+    skip_last_layer_train: bool = False,
+    name: str | None = None,
+    backend: str | None = None,
+) -> TrainableModel:
+    """Front door mirroring ``#[model(path, n, loss, skip)]``."""
+    from ..frontend.parser import parse
+
+    return TrainableModel(
+        parse(path, name=name), num_train_layers, loss, skip_last_layer_train, backend=backend
+    )

@@ -1,0 +1,155 @@
+"""Training-path tests: optimizer semantics, backward kernels, and
+behavioral convergence on the reference's sine retarget task
+(``examples/sine_train.rs``: retrain the last FC layer to y = x/4)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microflow_tpu.core import FusedActivation
+from microflow_tpu.train import compile_tflite_train, gradients, losses, optimizer
+
+MODELS = os.path.join(os.path.dirname(__file__), "..", "models")
+
+
+def test_update_weights_2d_rounds_and_saturates():
+    w = jnp.array([[100, -100], [5, 0]], jnp.int8)
+    g = jnp.array([[-3000, 3000], [49, -49]], jnp.int32)
+    # lr=1, batch=100 -> steps -30, 30, 0.49->0, -0.49->-0
+    out = optimizer.update_weights_2d(w, g, 100, 1.0)
+    assert np.array_equal(np.asarray(out), [[127, -128], [5, 0]])
+
+
+def test_update_weights_clip_norm_truncates():
+    # small gradients with lr*g*scale/batch < 1 must produce NO update
+    # (Rust `as` truncation -- reference update_layer.rs:130-157)
+    w = jnp.array([[10, -10]], jnp.int8)
+    g = jnp.array([[50, -50]], jnp.int32)
+    out = optimizer.update_weights_clip_norm_2d(w, g, 64, 0.01)
+    assert np.array_equal(np.asarray(out), [[10, -10]])
+    # large gradients: per = 100, norm = sqrt(2*100^2) = 141.42 > 127,
+    # scale = 1024/141.42 = 7.2408; delta = trunc(6400*7.2408/64) = 724,
+    # saturating-cast to i8 = +-127/-128, saturating-subtracted from w
+    g2 = jnp.array([[6400, -6400]], jnp.int32)
+    out2 = optimizer.update_weights_clip_norm_2d(w, g2, 64, 1.0)
+    assert np.array_equal(np.asarray(out2), [[-117, 118]])
+
+
+def test_update_constants_refold():
+    w = jnp.array([[1, 2], [3, 4]], jnp.int8)
+    c2 = optimizer.update_constants_fully_connected(w, in_zp=-5)
+    assert np.array_equal(np.asarray(c2), [-20, -30])
+
+
+def test_accumulate_gradient_4d_saturates():
+    cur = jnp.array([2**30], jnp.int32)
+    acc = jnp.array([2**30 + 2**29], jnp.int32)
+    out = optimizer.accumulate_gradient_4d(cur, acc)
+    assert int(out[0]) == 2**31 - 1
+
+
+def test_mse_grad():
+    p = jnp.array([[10, -5]], jnp.int8)
+    t = jnp.array([[7, -1]], jnp.int8)
+    assert np.array_equal(np.asarray(losses.mse_grad(p, t)), [[3, -4]])
+
+
+def test_fc_backward_hand_case():
+    """Hand-checked FC backward: 1 sample, 2->2, ReLU, one inactive output."""
+    from microflow_tpu.compiler.ir import FullyConnectedLayer, QuantInfo
+
+    q = lambda s, z: QuantInfo(np.array([s], np.float32), np.array([z], np.int64))
+    layer = FullyConnectedLayer(
+        index=0,
+        weights=np.array([[2, -1], [1, 3]], np.int8),
+        in_q=q(1.0, 1), w_q=q(1.0, 0), bias_q=q(1.0, 0), out_q=q(1.0, 0),
+        c0=np.zeros(2, np.float32), c1=np.float32(1.0),
+        c2=np.zeros(2, np.int32), c3=0,
+        activation=FusedActivation.RELU, flatten_input=False, out_shape=(2,),
+    )
+    x = jnp.array([[3, 5]], jnp.int8)  # centered: [2, 4]
+    out = jnp.array([[4, 0]], jnp.int8)  # col 1 inactive (== zp)
+    d_out = jnp.array([[10, 20]], jnp.int32)
+    dW, bias_grad, d_in = gradients.fc_backward(layer, x, out, jnp.asarray(layer.weights), d_out)
+    # only column 0 active: dW[:,0] = centered_x * 10, dW[:,1] = 0
+    assert np.array_equal(np.asarray(dW), [[20, 0], [40, 0]])
+    assert np.array_equal(np.asarray(bias_grad), [10.0, 0.0])
+    # input grad masks on RAW output > 0 (same cols here)
+    # dIn = mdOut @ (W - wzp)^T = [10,0] @ [[2,1],[-1,3]]^T
+    assert np.array_equal(np.asarray(d_in), [[20, 10]])
+
+
+@pytest.fixture(scope="module")
+def sine_trainer():
+    return compile_tflite_train(
+        os.path.join(MODELS, "sine.tflite"), 1, "mse", False, name="sine"
+    )
+
+
+def test_sine_retarget_converges(sine_trainer):
+    """The reference's sine_train.rs task: retarget sin(x) -> x/4."""
+    m = sine_trainer
+    rng = np.random.default_rng(0)
+    lr, batch = 0.01, 64
+
+    def mse():
+        xs = rng.uniform(0, 2 * np.pi, (256, 1)).astype(np.float32)
+        return float(np.mean((np.asarray(m.predict(xs)) - xs / 4) ** 2))
+
+    before = mse()
+    for _ in range(60):
+        xs = rng.uniform(0, 2 * np.pi, (batch, 1)).astype(np.float32)
+        m.predict_train(xs, m.quantize_target(xs / 4), lr)
+        m.update_layers(batch, lr)
+    after = mse()
+    assert after < before / 3, (before, after)
+
+
+def test_batched_equals_sequential_fc_grads():
+    """FC gradient accumulation over a batch must equal per-sample calls
+    (integer adds commute), mirroring the reference's sample-at-a-time
+    accumulation loop."""
+    m1 = compile_tflite_train(os.path.join(MODELS, "sine.tflite"), 1, "mse", False)
+    m2 = compile_tflite_train(os.path.join(MODELS, "sine.tflite"), 1, "mse", False)
+    rng = np.random.default_rng(3)
+    xs = rng.uniform(0, 2 * np.pi, (4, 1)).astype(np.float32)
+    gt = m1.quantize_target(xs / 4)
+    m1.predict_train(xs, gt, 0.01)
+    for i in range(4):
+        m2.predict_train(xs[i : i + 1], gt[i : i + 1], 0.01)
+    k = f"layer{m1.backward_indices[0]}"
+    assert np.array_equal(
+        np.asarray(m1.grads[k]["weights_gradient"]), np.asarray(m2.grads[k]["weights_gradient"])
+    )
+    assert np.allclose(
+        np.asarray(m1.grads[k]["c0_gradient"]), np.asarray(m2.grads[k]["c0_gradient"])
+    )
+
+
+def test_speech_crossentropy_updates_weights():
+    m = compile_tflite_train(
+        os.path.join(MODELS, "speech.tflite"), 2, "crossentropy", True, name="speech"
+    )
+    assert m.backward_indices == [2]  # softmax skipped
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (8, 1960)).astype(np.float32)
+    labels = np.full((8, 4), -128, np.int8)
+    labels[:, 2] = 127
+    before = np.asarray(m.params["layer2"]["weights"]).copy()
+    out = m.predict_train(x, labels, 0.5)
+    assert out.shape == (8, 4)
+    m.update_layers(8, 0.5)
+    after = np.asarray(m.params["layer2"]["weights"])
+    assert (before != after).any()
+    # C2 must be re-folded from the new weights
+    expected_c2 = after.astype(np.int64).sum(0) * m.graph.layers[2].in_q.zp0
+    assert np.array_equal(np.asarray(m.params["layer2"]["c2"]), expected_c2.astype(np.int32))
+
+
+def test_inference_unchanged_before_update(sine_trainer):
+    """predict_train must not mutate params until update_layers."""
+    m = compile_tflite_train(os.path.join(MODELS, "sine.tflite"), 1, "mse", False)
+    ref = np.asarray(m.predict(np.array([[0.5]], np.float32)))
+    assert ref[0, 0] == np.float32(0.41348344)
