@@ -1,0 +1,22 @@
+"""Continuous batched serving demo (new capability -- the reference runs
+one sample per call on one core): requests stream into a BatchServer that
+coalesces them into mesh-sharded batches.
+"""
+
+import numpy as np
+
+from microflow_tpu import models
+from microflow_tpu.parallel import BatchServer
+
+model = models.person_detect()
+server = BatchServer(model, max_batch=256, max_wait_ms=2.0)
+try:
+    rng = np.random.default_rng(0)
+    futures = [
+        server.submit(rng.uniform(0, 1, (4, 96, 96, 1)).astype(np.float32)) for _ in range(16)
+    ]
+    results = [f.result(timeout=120) for f in futures]
+    print(f"served {sum(r.shape[0] for r in results)} requests,",
+          f"mean person-prob {np.concatenate(results)[:, 0].mean():.3f}")
+finally:
+    server.stop()

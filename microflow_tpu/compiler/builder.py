@@ -41,6 +41,7 @@ from .ir import (
     DepthwiseConv2DLayer,
     FullyConnectedLayer,
     Graph,
+    QuantizeLayer,
     ReshapeLayer,
     SoftmaxLayer,
 )
@@ -227,6 +228,17 @@ def apply_layer(layer, params: dict, x: jax.Array, backend: str = "xla") -> jax.
         )
     if isinstance(layer, ReshapeLayer):
         return reshape(x, layer.out_shape)
+    if isinstance(layer, QuantizeLayer):
+        from ..ops.quantize_op import quantize_op
+
+        return quantize_op(
+            x,
+            in_scale=layer.in_q.scale0,
+            in_zp=layer.in_q.zp0,
+            out_scale=layer.out_q.scale0,
+            out_zp=layer.out_q.zp0,
+            out_dtype=layer.out_dtype.type,
+        )
     raise TypeError(f"unknown layer {type(layer)}")
 
 

@@ -117,10 +117,23 @@ class SoftmaxLayer:
 
 @dataclass
 class ReshapeLayer:
-    """Reference C9 + R11."""
+    """Reference C9 + R11.  Quant params pass through unchanged but are
+    recorded so a loss can read them when it lands on a reshape output."""
 
     index: int
     out_shape: tuple  # per-sample target shape
+    out_q: "QuantInfo | None" = None
+
+
+@dataclass
+class QuantizeLayer:
+    """Requantization op (reference C10 was dead code; implemented here)."""
+
+    index: int
+    in_q: QuantInfo
+    out_q: QuantInfo
+    out_dtype: np.dtype
+    out_shape: tuple
 
 
 Layer = (

@@ -19,6 +19,7 @@ from ..compiler.ir import (
     FullyConnectedLayer,
     Graph,
     QuantInfo,
+    QuantizeLayer,
     ReshapeLayer,
     SoftmaxLayer,
 )
@@ -177,7 +178,19 @@ def parse(path: str, name: str | None = None) -> Graph:
             )
 
         elif code == tflite.BuiltinOperator.RESHAPE:
-            layers.append(ReshapeLayer(index=index, out_shape=out_shape))
+            layers.append(ReshapeLayer(index=index, out_shape=out_shape, out_q=out_q))
+
+        elif code == tflite.BuiltinOperator.QUANTIZE:
+            in_t = tensors[op.inputs[0]]
+            layers.append(
+                QuantizeLayer(
+                    index=index,
+                    in_q=_quant_info(in_t),
+                    out_q=out_q,
+                    out_dtype=np.dtype(out_t.type.np_dtype),
+                    out_shape=out_shape,
+                )
+            )
 
         else:
             raise NotImplementedError(f"unsupported operator: {code!r}")

@@ -1,0 +1,67 @@
+"""Tests for the quantize op, cosine similarity, checkpointing, and the
+deep (conv/dwconv/avgpool backward) training path."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from microflow_tpu import models
+from microflow_tpu.ops.quantize_op import quantize_op
+from microflow_tpu.utils import cosine_similarity, load_params, macs_per_inference, save_params
+
+
+def test_quantize_op_requantizes():
+    x = jnp.array([[-128, 0, 127]], jnp.int8)  # scale 0.5, zp 0
+    y = quantize_op(x, in_scale=0.5, in_zp=0, out_scale=1.0, out_zp=10)
+    # dequant: [-64, 0, 63.5] -> /1.0 + 10 -> [-54, 10, 74] (roundf 73.5 -> 74)
+    assert np.array_equal(np.asarray(y), [[-54, 10, 74]])
+
+
+def test_cosine_similarity():
+    a = np.array([[1.0, 0.0], [1.0, 1.0]], np.float32)
+    b = np.array([[1.0, 0.0], [1.0, -1.0]], np.float32)
+    sim = np.asarray(cosine_similarity(a, b))
+    assert np.allclose(sim, [1.0, 0.0], atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m = models.sine_trainable()
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(0, 2 * np.pi, (64, 1)).astype(np.float32)
+    m.predict_train(xs, m.quantize_target(xs / 4), 0.01)
+    m.update_layers(64, 0.01)
+    ref = np.asarray(m.predict(xs))
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_params(path, m.params)
+    m2 = models.sine_trainable()
+    m2.params = load_params(path)
+    assert np.array_equal(np.asarray(m2.predict(xs)), ref)
+
+
+def test_macs_count_person_detect():
+    g = models.person_detect().graph
+    # MobileNet-v1 0.25x @96x96: ~7.16 MMACs
+    assert 6_000_000 < macs_per_inference(g) < 8_500_000
+
+
+def test_person_detect_deep_training_smoke():
+    """Exercises conv / dwconv / avgpool / reshape backward end to end."""
+    m = models.person_detect_trainable(num_train_layers=6)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (2, 96, 96, 1)).astype(np.float32)
+    gt = np.full((2, 2), -128, np.int8)
+    gt[:, 0] = 127
+    out = m.predict_train(x, gt, 0.5)
+    assert out.shape == (2, 2)
+    m.update_layers(2, 0.5)
+    # at least one trainable conv layer must have moved
+    moved = 0
+    for i in m.backward_indices:
+        key = f"layer{i}"
+        if key in m.grads and key in m.params:
+            orig = m.graph.layers[i]
+            w0 = getattr(orig, "filters", getattr(orig, "weights", None))
+            if w0 is not None:
+                moved += int((np.asarray(m.params[key]["weights"]) != w0).any())
+    assert moved >= 1
