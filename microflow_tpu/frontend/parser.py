@@ -62,8 +62,20 @@ def _per_sample(shape: list[int]) -> tuple:
     return tuple(shape[1:])
 
 
-def parse(path: str, name: str | None = None) -> Graph:
-    model = tflite.load_model(path)
+def parse(path: str, name: str | None = None, frontend: str = "auto") -> Graph:
+    """``frontend``: "auto" (native C++ parser with Python fallback),
+    "native", or "python"."""
+    model = None
+    if frontend in ("auto", "native"):
+        try:
+            from . import native_backend
+
+            model = native_backend.load_model(path)
+        except Exception:
+            if frontend == "native":
+                raise
+    if model is None:
+        model = tflite.load_model(path)
     sg = model.subgraphs[0]
     tensors = sg.tensors
 
@@ -79,7 +91,7 @@ def parse(path: str, name: str | None = None) -> Graph:
 
         if code == tflite.BuiltinOperator.FULLY_CONNECTED:
             in_t, w_t, b_t = (tensors[i] for i in op.inputs[:3])
-            opts = tflite.FullyConnectedOptions(op.options)
+            opts = op.fully_connected_options()
             # tflite stores FC weights [out, in]; runtime layout is [in, out]
             # (reference transposes at parse, macros/src/tensor.rs:98-114)
             weights = _tensor_data(model, w_t).T.copy()
@@ -101,7 +113,7 @@ def parse(path: str, name: str | None = None) -> Graph:
 
         elif code == tflite.BuiltinOperator.CONV_2D:
             in_t, w_t, b_t = (tensors[i] for i in op.inputs[:3])
-            opts = tflite.Conv2DOptions(op.options)
+            opts = op.conv_2d_options()
             filters = _tensor_data(model, w_t)  # [F, KH, KW, C]
             bias = _tensor_data(model, b_t).reshape(-1)
             in_q, w_q, bias_q = _quant_info(in_t), _quant_info(w_t), _quant_info(b_t)
@@ -125,7 +137,7 @@ def parse(path: str, name: str | None = None) -> Graph:
 
         elif code == tflite.BuiltinOperator.DEPTHWISE_CONV_2D:
             in_t, w_t, b_t = (tensors[i] for i in op.inputs[:3])
-            opts = tflite.DepthwiseConv2DOptions(op.options)
+            opts = op.depthwise_conv_2d_options()
             weights = _tensor_data(model, w_t)[0]  # [KH, KW, CH]
             bias = _tensor_data(model, b_t).reshape(-1)
             in_q, w_q, bias_q = _quant_info(in_t), _quant_info(w_t), _quant_info(b_t)
@@ -151,7 +163,7 @@ def parse(path: str, name: str | None = None) -> Graph:
 
         elif code == tflite.BuiltinOperator.AVERAGE_POOL_2D:
             in_t = tensors[op.inputs[0]]
-            opts = tflite.Pool2DOptions(op.options)
+            opts = op.pool_2d_options()
             in_q = _quant_info(in_t)
             c0, c1 = folding.preprocess_average_pool_2d(in_q, out_q)
             geom = ViewGeometry(

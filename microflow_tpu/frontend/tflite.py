@@ -104,6 +104,19 @@ class Operator:
     def options(self) -> Table | None:
         return self._options
 
+    # typed decoders shared with the native front-end adapter
+    def conv_2d_options(self) -> "Conv2DOptions":
+        return Conv2DOptions(self._options)
+
+    def depthwise_conv_2d_options(self) -> "DepthwiseConv2DOptions":
+        return DepthwiseConv2DOptions(self._options)
+
+    def pool_2d_options(self) -> "Pool2DOptions":
+        return Pool2DOptions(self._options)
+
+    def fully_connected_options(self) -> "FullyConnectedOptions":
+        return FullyConnectedOptions(self._options)
+
 
 class SubGraph:
     def __init__(self, t: Table):
