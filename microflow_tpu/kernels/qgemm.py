@@ -46,12 +46,14 @@ def _qgemm_kernel(
         bias0_ref[:] + c1_ref[:] * q.astype(jnp.float32),
         lax.RoundingMethod.AWAY_FROM_ZERO,
     )
-    y = jnp.clip(y, -128.0, 127.0).astype(jnp.int8)
+    # activation folded into the f32 saturation bounds (int8 max/min does
+    # not legalize on v5e Mosaic): sat_cast∘relu(zp) == clip(y, zp, 127)
+    lo, hi = -128.0, 127.0
     if act is FusedActivation.RELU:
-        y = jnp.maximum(y, jnp.int8(out_zp))
+        lo = float(out_zp)
     elif act is FusedActivation.RELU6:
-        y = jnp.minimum(jnp.maximum(y, jnp.int8(out_zp)), jnp.int8(six))
-    o_ref[:] = y
+        lo, hi = float(out_zp), min(127.0, float(six))
+    o_ref[:] = jnp.clip(y, lo, hi).astype(jnp.int8)
 
 
 @functools.partial(

@@ -20,8 +20,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def mesh_devices(min_devices: int = 1):
+    """Devices to build meshes from: the default backend, unless it has
+    fewer than ``min_devices``, in which case fall back to the (virtual,
+    ``--xla_force_host_platform_device_count``) CPU backend so sharding
+    logic stays testable on a single-chip or no-TPU host."""
+    devices = jax.devices()
+    if len(devices) < min_devices:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) > len(devices):
+            devices = cpu
+    return devices
+
+
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    if devices is None:
+        devices = mesh_devices(min_devices=(n_data or 1) * n_model)
     if n_data is None:
         n_data = len(devices) // n_model
     dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)

@@ -21,7 +21,12 @@ def sine():
 
 
 def test_mesh_has_8_virtual_devices():
-    assert len(jax.devices()) == 8
+    # Under a real-TPU session the default backend may be a single chip;
+    # the mesh helper must then fall back to the virtual 8-device CPU
+    # backend forced by conftest's XLA_FLAGS.
+    from microflow_tpu.parallel.mesh import mesh_devices
+
+    assert len(mesh_devices(min_devices=8)) == 8
 
 
 def test_batch_sharded_predict_matches_single_device(sine):
