@@ -27,8 +27,8 @@ BASELINE_INF_PER_S = 1.0 / 0.896216  # person_detect, nRF52840, BASELINE.md
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="models/person_detect.tflite")
-    ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--backend", default=None, help="pallas|xla (default: auto)")
     args = ap.parse_args()
 

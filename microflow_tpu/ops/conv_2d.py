@@ -24,10 +24,67 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..core.activation import FusedActivation, apply_fused_activation
 from ..core.numerics import f32, round_away, saturating_cast
 from ..core.tensor import ViewGeometry, extract_patches
+
+_DIMNUMS = ("NHWC", "OHWI", "NHWC")  # tflite filter layout is [F, KH, KW, C]
+
+
+def _pad_same(x: jax.Array, geom: ViewGeometry, in_zp: int) -> jax.Array:
+    top, bottom, left, right = geom.pad_amounts()
+    return jnp.pad(
+        x,
+        ((0, 0), (top, bottom), (left, right), (0, 0)),
+        constant_values=np.asarray(in_zp, x.dtype),
+    )
+
+
+def conv_2d_accumulate(
+    x: jax.Array, filters: jax.Array, geom: ViewGeometry, in_zp: int, w_zp: np.ndarray
+) -> jax.Array:
+    """Exact i32 accumulator ``q[b,i,j,f] = sum (x - in_zp)(w[f] - w_zp[f])``
+    over the (zp-padded) window, as one int8 MXU conv plus corrections:
+
+        q = conv(x, w) - w_zp[f] * winsum + d[f]
+        winsum[b,i,j] = conv(x, ones)           (per-pixel window sum)
+        d[f] = K*in_zp*w_zp[f] - in_zp*sum(w[f])   (static)
+
+    No im2col materialization: XLA lowers both convs straight to the MXU
+    with s8 x s8 -> s32 accumulation.
+    """
+    F, KH, KW, C = filters.shape
+    xp = _pad_same(x, geom, in_zp)
+    strides = (geom.stride_rows, geom.stride_cols)
+    raw = lax.conv_general_dilated(
+        xp, filters, strides, "VALID",
+        dimension_numbers=_DIMNUMS, preferred_element_type=jnp.int32,
+    )  # [B, OH, OW, F]
+    wzp = jnp.asarray(w_zp, jnp.int32)
+    if np.any(np.asarray(w_zp) != 0):
+        ones = jnp.ones((1, KH, KW, C), x.dtype)
+        winsum = lax.conv_general_dilated(
+            xp, ones, strides, "VALID",
+            dimension_numbers=_DIMNUMS, preferred_element_type=jnp.int32,
+        )  # [B, OH, OW, 1]
+        raw = raw - winsum * wzp[None, None, None, :]
+    # d is cheap per-filter work; filters may be traced (params pytree)
+    wsum = jnp.sum(filters.astype(jnp.int32), axis=(1, 2, 3))
+    d = jnp.int32(KH * KW * C * in_zp) * wzp - jnp.int32(in_zp) * wsum
+    return raw + d[None, None, None, :]
+
+
+def conv_2d_accumulate_patches(
+    x: jax.Array, filters: jax.Array, geom: ViewGeometry, in_zp: int, w_zp: np.ndarray
+) -> jax.Array:
+    """im2col + einsum form of the same exact accumulator (fallback for
+    dtypes XLA's int conv path does not accept, and the training forward)."""
+    patches = extract_patches(x, geom, pad_value=in_zp)  # [B, OH, OW, KH, KW, C]
+    centered = patches.astype(jnp.int32) - jnp.int32(in_zp)
+    wc = filters.astype(jnp.int32) - jnp.asarray(w_zp, jnp.int32)[:, None, None, None]
+    return jnp.einsum("bijmnc,fmnc->bijf", centered, wc, preferred_element_type=jnp.int32)
 
 
 def conv_2d(
@@ -44,13 +101,10 @@ def conv_2d(
     activation: FusedActivation,
 ) -> jax.Array:
     out_dtype = x.dtype
-    F, KH, KW, C = filters.shape
-    patches = extract_patches(x, geom, pad_value=in_zp)  # [B, OH, OW, KH, KW, C]
-    centered = patches.astype(jnp.int32) - jnp.int32(in_zp)
-    wc = filters.astype(jnp.int32) - jnp.asarray(w_zp, jnp.int32)[:, None, None, None]
-    q = jnp.einsum(
-        "bijmnc,fmnc->bijf", centered, wc, preferred_element_type=jnp.int32
-    )  # [B, OH, OW, F] i32 (exact)
+    if x.dtype == jnp.int8:
+        q = conv_2d_accumulate(x, filters, geom, in_zp, w_zp)
+    else:
+        q = conv_2d_accumulate_patches(x, filters, geom, in_zp, w_zp)
     y = round_away(
         jnp.asarray(bias0, jnp.float32)[None, None, None, :]
         + jnp.asarray(c1, jnp.float32)[None, None, None, :] * f32(q)

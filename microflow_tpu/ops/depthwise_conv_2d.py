@@ -14,10 +14,54 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..core.activation import FusedActivation, apply_fused_activation
 from ..core.numerics import f32, round_away, saturating_cast
 from ..core.tensor import ViewGeometry, extract_patches
+from .conv_2d import _pad_same
+
+_DW_DIMNUMS = ("NHWC", "OHWI", "NHWC")
+
+
+def depthwise_conv_2d_accumulate(
+    x: jax.Array, weights: jax.Array, geom: ViewGeometry, in_zp: int, w_zp: np.ndarray
+) -> jax.Array:
+    """Exact i32 accumulator ``q[b,i,j,c] = sum_mn (x[..,c]-in_zp)(w[m,n,c]-w_zp[c])``
+    as a grouped int8 conv (``feature_group_count = C``) plus corrections --
+    same algebra as ``conv_2d_accumulate`` but per channel."""
+    KH, KW, CH = weights.shape
+    xp = _pad_same(x, geom, in_zp)
+    strides = (geom.stride_rows, geom.stride_cols)
+    w_oi = jnp.transpose(weights, (2, 0, 1))[:, :, :, None]  # [CH, KH, KW, 1] OHWI
+    raw = lax.conv_general_dilated(
+        xp, w_oi, strides, "VALID",
+        dimension_numbers=_DW_DIMNUMS,
+        feature_group_count=CH,
+        preferred_element_type=jnp.int32,
+    )  # [B, OH, OW, CH]
+    wzp = jnp.asarray(w_zp, jnp.int32)
+    if np.any(np.asarray(w_zp) != 0):
+        ones = jnp.ones((CH, KH, KW, 1), x.dtype)
+        winsum = lax.conv_general_dilated(
+            xp, ones, strides, "VALID",
+            dimension_numbers=_DW_DIMNUMS,
+            feature_group_count=CH,
+            preferred_element_type=jnp.int32,
+        )  # [B, OH, OW, CH] per-channel window sums
+        raw = raw - winsum * wzp[None, None, None, :]
+    wsum = jnp.sum(weights.astype(jnp.int32), axis=(0, 1))  # [CH]
+    d = jnp.int32(KH * KW * in_zp) * wzp - jnp.int32(in_zp) * wsum
+    return raw + d[None, None, None, :]
+
+
+def depthwise_conv_2d_accumulate_patches(
+    x: jax.Array, weights: jax.Array, geom: ViewGeometry, in_zp: int, w_zp: np.ndarray
+) -> jax.Array:
+    patches = extract_patches(x, geom, pad_value=in_zp)  # [B, OH, OW, KH, KW, CH]
+    centered = patches.astype(jnp.int32) - jnp.int32(in_zp)
+    wc = weights.astype(jnp.int32) - jnp.asarray(w_zp, jnp.int32)[None, None, :]
+    return jnp.sum(centered * wc[None, None, None, :, :, :], axis=(3, 4))
 
 
 def depthwise_conv_2d(
@@ -38,12 +82,13 @@ def depthwise_conv_2d(
     in_c = x.shape[-1]
     # reference channel fallback: channel c of the view, or channel 0 if
     # the input has fewer channels than the weights
-    chan_idx = np.array([c if c < in_c else 0 for c in range(CH)])
-    patches = extract_patches(x, geom, pad_value=in_zp)  # [B, OH, OW, KH, KW, IN_C]
-    patches = patches[..., chan_idx]  # [B, OH, OW, KH, KW, CH]
-    centered = patches.astype(jnp.int32) - jnp.int32(in_zp)
-    wc = weights.astype(jnp.int32) - jnp.asarray(w_zp, jnp.int32)[None, None, :]
-    q = jnp.sum(centered * wc[None, None, None, :, :, :], axis=(3, 4))  # [B, OH, OW, CH]
+    if in_c != CH:
+        chan_idx = np.array([c if c < in_c else 0 for c in range(CH)])
+        x = x[..., chan_idx]
+    if x.dtype == jnp.int8:
+        q = depthwise_conv_2d_accumulate(x, weights, geom, in_zp, w_zp)
+    else:
+        q = depthwise_conv_2d_accumulate_patches(x, weights, geom, in_zp, w_zp)
     y = round_away(
         jnp.asarray(bias0, jnp.float32)[None, None, None, :]
         + jnp.asarray(c1, jnp.float32)[None, None, None, :] * f32(q)
