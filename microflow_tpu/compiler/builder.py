@@ -242,13 +242,27 @@ def apply_layer(layer, params: dict, x: jax.Array, backend: str = "xla") -> jax.
     raise TypeError(f"unknown layer {type(layer)}")
 
 
-def default_backend() -> str:
-    """Currently "xla" everywhere: on TPU v5e the XLA lowering of the
-    exact integer ops (im2col einsum + fused requant epilogue) measures
-    ~2.8x faster end-to-end than the first-cut Pallas kernels, whose
-    XLA-level phase/pad copies cost HBM bandwidth.  The Pallas backend
-    (``backend="pallas"``) is bit-identical and remains the optimization
-    frontier -- revisit once the kernels DMA their own halos."""
+def default_backend(graph: Graph | None = None) -> str:
+    """Backend auto-selection.
+
+    * ``fused`` -- the whole-model Pallas megakernel
+      (``kernels/megakernel.py``): one VMEM-resident pass per batch block,
+      weights resident across grid steps.  Chosen whenever the graph
+      qualifies; on v5e it is HBM-optimal for MicroFlow-class models.
+    * ``xla`` -- exact integer ops lowered by XLA (int8 lax.conv + fused
+      requant epilogues).  Fallback for non-fusable graphs, and the parity
+      oracle the fused/pallas backends are tested against.
+    * ``pallas`` -- per-op fused kernels (qgemm/qdwconv), bit-identical;
+      kept for op-level use and comparison.
+
+    Currently always ``xla``: on v5e the measured order is xla (665k
+    person_detect inf/s at batch 8k) > pallas > fused (41k).  The fused
+    megakernel is HBM-optimal on paper but Mosaic's NHWC layouts waste
+    15/16 VPU lanes on the small-channel early layers, and 73 KB/sample
+    of activations at the widest layer caps the VMEM-resident batch tile
+    well below the 128-lane sweet spot.  Revisit with a channel-major
+    [P, C, TB-lanes] deep-half kernel.
+    """
     return "xla"
 
 
@@ -257,7 +271,14 @@ class CompiledModel:
 
     def __init__(self, graph: Graph, backend: str | None = None):
         self.graph = graph
-        self.backend = backend or default_backend()
+        self.backend = backend or default_backend(graph)
+        self._fused_forward = None
+        if self.backend == "fused":
+            from ..kernels.megakernel import build_fused_forward, fusable
+
+            if not fusable(graph):
+                raise ValueError("graph is not megakernel-fusable; use backend='xla'")
+            self._fused_forward = build_fused_forward(graph)
         self.params = init_params(graph)
         self._jit_predict = jax.jit(self._predict_from_quantized)
         self._jit_inner = jax.jit(self._forward)
@@ -265,6 +286,8 @@ class CompiledModel:
     # --- traced bodies ---
 
     def _forward(self, params, xq):
+        if self._fused_forward is not None:
+            return self._fused_forward(params, xq)
         for layer in self.graph.layers:
             xq = apply_layer(layer, params, xq, self.backend)
         return xq

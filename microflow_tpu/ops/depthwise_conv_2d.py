@@ -80,15 +80,25 @@ def depthwise_conv_2d(
     out_dtype = x.dtype
     KH, KW, CH = weights.shape
     in_c = x.shape[-1]
-    # reference channel fallback: channel c of the view, or channel 0 if
-    # the input has fewer channels than the weights
-    if in_c != CH:
-        chan_idx = np.array([c if c < in_c else 0 for c in range(CH)])
-        x = x[..., chan_idx]
-    if x.dtype == jnp.int8:
-        q = depthwise_conv_2d_accumulate(x, weights, geom, in_zp, w_zp)
+    if in_c == 1 and CH > 1 and x.dtype == jnp.int8:
+        # depth-multiplier stem: every output channel reads input channel 0
+        # (reference fallback), so this is exactly a regular conv with CH
+        # single-channel filters -- avoids materializing the CH-fold
+        # channel broadcast at batch scale.
+        from .conv_2d import conv_2d_accumulate
+
+        filters = jnp.transpose(weights, (2, 0, 1))[:, :, :, None]  # [CH,KH,KW,1]
+        q = conv_2d_accumulate(x, filters, geom, in_zp, w_zp)
     else:
-        q = depthwise_conv_2d_accumulate_patches(x, weights, geom, in_zp, w_zp)
+        # reference channel fallback: channel c of the view, or channel 0
+        # if the input has fewer channels than the weights
+        if in_c != CH:
+            chan_idx = np.array([c if c < in_c else 0 for c in range(CH)])
+            x = x[..., chan_idx]
+        if x.dtype == jnp.int8:
+            q = depthwise_conv_2d_accumulate(x, weights, geom, in_zp, w_zp)
+        else:
+            q = depthwise_conv_2d_accumulate_patches(x, weights, geom, in_zp, w_zp)
     y = round_away(
         jnp.asarray(bias0, jnp.float32)[None, None, None, :]
         + jnp.asarray(c1, jnp.float32)[None, None, None, :] * f32(q)

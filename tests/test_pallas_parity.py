@@ -94,3 +94,22 @@ def test_pallas_backend_person_detect_golden():
     m = compile_tflite(os.path.join(MODELS, "person_detect.tflite"), backend="pallas")
     out = np.asarray(m.predict(np.full((1, 96, 96, 1), 0.5, np.float32)))
     assert np.array_equal(out, np.array([[0.8046875, 0.1953125]], np.float32))
+
+
+@pytest.mark.parametrize("model,make_input,expected", [
+    ("sine", lambda: np.array([[0.5]], np.float32), [[0.41348344]]),
+    ("speech", lambda: np.full((2, 1960), 0.5, np.float32),
+     [[0.15625, 0.2734375, 0.2734375, 0.296875]] * 2),
+])
+def test_fused_megakernel_model_golden(model, make_input, expected):
+    """Whole-model megakernel backend (kernels/megakernel.py) parity."""
+    m = compile_tflite(os.path.join(MODELS, f"{model}.tflite"), backend="fused")
+    out = np.asarray(m.predict(make_input()))
+    assert np.array_equal(out, np.array(expected, np.float32))
+
+
+@pytest.mark.slow
+def test_fused_megakernel_person_detect_golden():
+    m = compile_tflite(os.path.join(MODELS, "person_detect.tflite"), backend="fused")
+    out = np.asarray(m.predict(np.full((3, 96, 96, 1), 0.5, np.float32)))
+    assert np.array_equal(out, np.tile([[0.8046875, 0.1953125]], (3, 1)).astype(np.float32))
