@@ -63,10 +63,11 @@ from . import config
 import os
 
 # Per-program working-set budget driving the batch-tile choice.  Mosaic's
-# stack allocator keeps more live than the analytic per-layer estimate
-# (transient relayout copies, double buffering), hence the conservative
-# default; MFT_VMEM_BUDGET (bytes) overrides for tuning.
-_VMEM_BUDGET = int(os.environ.get("MFT_VMEM_BUDGET", 9 * 2**20))
+# stack allocator keeps ~6x more live than the analytic per-layer estimate
+# (transient relayout copies, double buffering, poor reuse across a long
+# straight-line program), hence the conservative default (empirically the
+# largest that compiles person_detect); MFT_VMEM_BUDGET (bytes) overrides.
+_VMEM_BUDGET = int(os.environ.get("MFT_VMEM_BUDGET", 3 * 2**20))
 
 
 def _requant(q, bias0, c1, act, out_scale, out_zp):
