@@ -52,6 +52,7 @@ from ..compiler.ir import (
     DepthwiseConv2DLayer,
     FullyConnectedLayer,
     Graph,
+    QuantizeLayer,
     ReshapeLayer,
     SoftmaxLayer,
 )
@@ -293,6 +294,20 @@ def _plan_fc(layer: FullyConnectedLayer, p: dict) -> _LayerPlan:
     return _LayerPlan(consts, apply, K * 2 + N * 10)
 
 
+def _plan_quantize(layer) -> _LayerPlan:
+    """QUANTIZE: elementwise requant (``ops/quantize_op.py`` math)."""
+    in_s, in_zp = float(layer.in_q.scale0), layer.in_q.zp0
+    out_s, out_zp = float(layer.out_q.scale0), layer.out_q.zp0
+
+    def apply(x):
+        deq = jnp.float32(in_s) * (x.astype(jnp.float32) - jnp.float32(in_zp))
+        y = lax.round(deq / jnp.float32(out_s) + jnp.float32(out_zp),
+                      lax.RoundingMethod.AWAY_FROM_ZERO)
+        return jnp.clip(y, -128.0, 127.0).astype(jnp.int8)
+
+    return _LayerPlan([], apply, 16)
+
+
 def _plan_avgpool(layer: AveragePool2DLayer) -> _LayerPlan:
     g = layer.geom
     KH, KW = g.k_rows, g.k_cols
@@ -344,7 +359,7 @@ def fusable(graph: Graph) -> bool:
         elif not isinstance(
             layer,
             (Conv2DLayer, DepthwiseConv2DLayer, FullyConnectedLayer,
-             AveragePool2DLayer, ReshapeLayer),
+             AveragePool2DLayer, ReshapeLayer, QuantizeLayer),
         ):
             return False
     return True
@@ -447,6 +462,10 @@ def build_fused_forward(graph: Graph):
                 cur.append(_plan_conv(layer, params[key]))
             elif isinstance(layer, AveragePool2DLayer):
                 cur.append(_plan_avgpool(layer))
+            elif isinstance(layer, QuantizeLayer):
+                if np.dtype(layer.out_dtype) != np.int8:
+                    raise TypeError("megakernel: QUANTIZE to non-int8")
+                cur.append(_plan_quantize(layer))
             else:
                 raise TypeError(f"megakernel: unsupported layer {type(layer)}")
             shape = tuple(layer.out_shape)

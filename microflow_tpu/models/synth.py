@@ -1,0 +1,158 @@
+"""Synthetic int8 model generators, built with the engine's own TFLite
+writer (``frontend/writer.py``).
+
+These fill gaps the bundled reference models leave open:
+
+* ``lenet()`` -- a LeNet-style CNN (conv/pool/conv/pool/fc/fc/softmax);
+  the reference's ``examples/leNet_train.rs`` references a
+  ``models/train/lenet.tflite`` that is NOT checked into its repo, so we
+  fabricate an equivalent for the same train-configuration coverage.
+* ``full_ops()`` -- one model exercising every supported builtin,
+  including QUANTIZE (dead code in the reference, implemented here).
+
+Weights are deterministic (seeded).  Quantization parameters are
+internally consistent (bias_scale = in_scale * w_scale, symmetric int8
+weights), so the integer pipeline behaves like a real converter's output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..frontend.tflite import ActivationFunctionType as Act
+from ..frontend.tflite import BuiltinOperator as Op
+from ..frontend.tflite import Padding, TensorType
+from ..frontend.writer import ModelWriter
+
+I8 = TensorType.INT8
+I32 = TensorType.INT32
+
+
+def _qweights(rng, shape, scale_hint=0.05):
+    """Symmetric int8 quantized weights from a float draw."""
+    w = rng.normal(0.0, scale_hint, shape).astype(np.float32)
+    scale = np.float32(max(np.abs(w).max() / 127.0, 1e-6))
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, float(scale)
+
+
+def _qbias(rng, n, in_scale, w_scale):
+    b = rng.normal(0.0, 0.1, n).astype(np.float32)
+    s = np.float32(in_scale * w_scale)
+    return np.clip(np.round(b / s), -(2**31) + 1, 2**31 - 1).astype(np.int32), float(s)
+
+
+def lenet(seed: int = 0) -> bytes:
+    """LeNet-style int8 CNN: [B,12,12,1] -> 10 classes.
+
+    conv3x3x8(relu, SAME) -> avgpool2x2/2 -> conv3x3x16(relu, SAME) ->
+    avgpool2x2/2 -> reshape -> fc32(relu) -> fc10 -> softmax
+    """
+    rng = np.random.default_rng(seed)
+    m = ModelWriter("microflow_tpu synthetic lenet")
+    in_s, in_zp = 1 / 128.0, 0
+
+    x0 = m.tensor([1, 12, 12, 1], I8, in_s, in_zp, name="input")
+
+    w1, w1s = _qweights(rng, (8, 3, 3, 1), 0.4)
+    b1, b1s = _qbias(rng, 8, in_s, w1s)
+    a1_s, a1_zp = 1 / 64.0, -128
+    t_w1 = m.tensor([8, 3, 3, 1], I8, w1s, 0, data=w1, name="conv1_w")
+    t_b1 = m.tensor([8], I32, b1s, 0, data=b1, name="conv1_b")
+    x1 = m.tensor([1, 12, 12, 8], I8, a1_s, a1_zp, name="conv1_out")
+    m.add_op(Op.CONV_2D, [x0, t_w1, t_b1], [x1],
+             m.conv_options(Padding.SAME, (1, 1), Act.RELU))
+
+    x2 = m.tensor([1, 6, 6, 8], I8, a1_s, a1_zp, name="pool1_out")
+    m.add_op(Op.AVERAGE_POOL_2D, [x1], [x2],
+             m.pool_options(Padding.VALID, (2, 2), (2, 2), Act.NONE))
+
+    w3, w3s = _qweights(rng, (16, 3, 3, 8), 0.2)
+    b3, b3s = _qbias(rng, 16, a1_s, w3s)
+    a3_s, a3_zp = 1 / 64.0, -128
+    t_w3 = m.tensor([16, 3, 3, 8], I8, w3s, 0, data=w3, name="conv2_w")
+    t_b3 = m.tensor([16], I32, b3s, 0, data=b3, name="conv2_b")
+    x3 = m.tensor([1, 6, 6, 16], I8, a3_s, a3_zp, name="conv2_out")
+    m.add_op(Op.CONV_2D, [x2, t_w3, t_b3], [x3],
+             m.conv_options(Padding.SAME, (1, 1), Act.RELU))
+
+    x4 = m.tensor([1, 3, 3, 16], I8, a3_s, a3_zp, name="pool2_out")
+    m.add_op(Op.AVERAGE_POOL_2D, [x3], [x4],
+             m.pool_options(Padding.VALID, (2, 2), (2, 2), Act.NONE))
+
+    x5 = m.tensor([1, 144], I8, a3_s, a3_zp, name="flat")
+    m.add_op(Op.RESHAPE, [x4], [x5], None)
+
+    w6, w6s = _qweights(rng, (32, 144), 0.1)  # tflite FC layout [out, in]
+    b6, b6s = _qbias(rng, 32, a3_s, w6s)
+    a6_s, a6_zp = 1 / 32.0, -128
+    t_w6 = m.tensor([32, 144], I8, w6s, 0, data=w6, name="fc1_w")
+    t_b6 = m.tensor([32], I32, b6s, 0, data=b6, name="fc1_b")
+    x6 = m.tensor([1, 32], I8, a6_s, a6_zp, name="fc1_out")
+    m.add_op(Op.FULLY_CONNECTED, [x5, t_w6, t_b6], [x6], m.fc_options(Act.RELU))
+
+    w7, w7s = _qweights(rng, (10, 32), 0.2)
+    b7, b7s = _qbias(rng, 10, a6_s, w7s)
+    a7_s, a7_zp = 1 / 16.0, 0
+    t_w7 = m.tensor([10, 32], I8, w7s, 0, data=w7, name="fc2_w")
+    t_b7 = m.tensor([10], I32, b7s, 0, data=b7, name="fc2_b")
+    x7 = m.tensor([1, 10], I8, a7_s, a7_zp, name="logits")
+    m.add_op(Op.FULLY_CONNECTED, [x6, t_w7, t_b7], [x7], m.fc_options(Act.NONE))
+
+    x8 = m.tensor([1, 10], I8, 1 / 256.0, -128, name="probs")
+    m.add_op(Op.SOFTMAX, [x7], [x8], m.softmax_options(1.0))
+
+    return m.finish([x0], [x8])
+
+
+def full_ops(seed: int = 1) -> bytes:
+    """Every supported builtin in one graph, including QUANTIZE:
+    [B,8,8,2] -> quantize(rescale) -> dwconv3x3(relu6, SAME, s2) ->
+    conv1x1x4 -> avgpool(SAME 3x3 s2) -> reshape -> fc -> softmax."""
+    rng = np.random.default_rng(seed)
+    m = ModelWriter("microflow_tpu synthetic full-ops")
+
+    x0 = m.tensor([1, 8, 8, 2], I8, 0.02, -3, name="input")
+    x1 = m.tensor([1, 8, 8, 2], I8, 0.015, 5, name="requant")
+    m.add_op(Op.QUANTIZE, [x0], [x1], None)
+
+    wd, wds = _qweights(rng, (1, 3, 3, 2), 0.5)
+    bd, bds = _qbias(rng, 2, 0.015, wds)
+    t_wd = m.tensor([1, 3, 3, 2], I8, wds, 0, data=wd, name="dw_w")
+    t_bd = m.tensor([2], I32, bds, 0, data=bd, name="dw_b")
+    x2 = m.tensor([1, 4, 4, 2], I8, 0.02, -128, name="dw_out")
+    m.add_op(Op.DEPTHWISE_CONV_2D, [x1, t_wd, t_bd], [x2],
+             m.dwconv_options(Padding.SAME, (2, 2), 1, Act.RELU6))
+
+    wc, wcs = _qweights(rng, (4, 1, 1, 2), 0.5)
+    bc, bcs = _qbias(rng, 4, 0.02, wcs)
+    t_wc = m.tensor([4, 1, 1, 2], I8, wcs, 0, data=wc, name="conv_w")
+    t_bc = m.tensor([4], I32, bcs, 0, data=bc, name="conv_b")
+    x3 = m.tensor([1, 4, 4, 4], I8, 0.03, 0, name="conv_out")
+    m.add_op(Op.CONV_2D, [x2, t_wc, t_bc], [x3],
+             m.conv_options(Padding.SAME, (1, 1), Act.NONE))
+
+    x4 = m.tensor([1, 2, 2, 4], I8, 0.03, 0, name="pool_out")
+    m.add_op(Op.AVERAGE_POOL_2D, [x3], [x4],
+             m.pool_options(Padding.SAME, (2, 2), (3, 3), Act.NONE))
+
+    x5 = m.tensor([1, 16], I8, 0.03, 0, name="flat")
+    m.add_op(Op.RESHAPE, [x4], [x5], None)
+
+    wf, wfs = _qweights(rng, (3, 16), 0.3)
+    bf, bfs = _qbias(rng, 3, 0.03, wfs)
+    t_wf = m.tensor([3, 16], I8, wfs, 0, data=wf, name="fc_w")
+    t_bf = m.tensor([3], I32, bfs, 0, data=bf, name="fc_b")
+    x6 = m.tensor([1, 3], I8, 0.05, 2, name="logits")
+    m.add_op(Op.FULLY_CONNECTED, [x5, t_wf, t_bf], [x6], m.fc_options(Act.NONE))
+
+    x7 = m.tensor([1, 3], I8, 1 / 256.0, -128, name="probs")
+    m.add_op(Op.SOFTMAX, [x6], [x7], m.softmax_options(1.0))
+
+    return m.finish([x0], [x7])
+
+
+def write(path: str, data: bytes) -> str:
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
