@@ -78,6 +78,31 @@ def fc_backward(layer: FullyConnectedLayer, x_q, out_q, weights, d_out):
     return dW, bias_grad, d_in
 
 
+def fc_backward_float(layer: FullyConnectedLayer, x_q, out_q, weights, d_out_f32):
+    """The reference's "unquantized" f32 twins of the FC gradients
+    (``gradient_fully_connected.rs:118-152`` weights, ``:198-232`` input,
+    ``:268-299`` bias) -- dequantized-domain gradients with the same
+    activation masking, kept for experimentation parity (the generated
+    train code never calls them; R13 in SURVEY.md).
+
+    Returns (dW f32 [K,N], bias_grad f32 [N], dIn f32 [B,K])."""
+    act, os_, oz = layer.activation, layer.out_q.scale0, layer.out_q.zp0
+    mask_w = activity_mask(out_q, act, os_, oz, raw=False)
+    md_w = jnp.where(mask_w, d_out_f32, 0.0).astype(jnp.float32)
+    # weights grad: dequantized input (in_scale * (x - in_zp)) outer grad
+    xd = jnp.float32(layer.in_q.scale0) * (f32(x_q) - jnp.float32(layer.in_q.zp0))
+    dW = xd.T @ md_w  # [K, N]
+    bias_grad = jnp.sum(md_w, axis=0)  # [N] (the scale factor is commented
+    # out in the reference, gradient_fully_connected.rs:295-297)
+    # input grad masks on the RAW quantized output (same quirk as the
+    # integer path, :171-177 vs :206-212)
+    mask_in = activity_mask(out_q, act, os_, oz, raw=True)
+    md_in = jnp.where(mask_in, d_out_f32, 0.0).astype(jnp.float32)
+    wd = jnp.float32(layer.w_q.scale0) * (f32(weights) - jnp.float32(layer.w_q.zp0))
+    d_in = md_in @ wd.T  # [B, K]
+    return dW, bias_grad, d_in
+
+
 # --- Conv2D -----------------------------------------------------------------
 
 

@@ -81,6 +81,31 @@ def test_fc_backward_hand_case():
     assert np.array_equal(np.asarray(d_in), [[20, 10]])
 
 
+def test_fc_backward_float_twins():
+    """R13's unquantized f32 gradient twins: dequantized-domain math with
+    the same activation masks as the integer path."""
+    from microflow_tpu.compiler.ir import FullyConnectedLayer, QuantInfo
+
+    q = lambda s, z: QuantInfo(np.array([s], np.float32), np.array([z], np.int64))
+    layer = FullyConnectedLayer(
+        index=0,
+        weights=np.array([[2, -1], [1, 3]], np.int8),
+        in_q=q(0.5, 1), w_q=q(0.25, 0), bias_q=q(1.0, 0), out_q=q(1.0, 0),
+        c0=np.zeros(2, np.float32), c1=np.float32(1.0),
+        c2=np.zeros(2, np.int32), c3=0,
+        activation=FusedActivation.RELU, flatten_input=False, out_shape=(2,),
+    )
+    x = jnp.array([[3, 5]], jnp.int8)
+    out = jnp.array([[4, 0]], jnp.int8)  # col 1 inactive
+    g = jnp.array([[10.0, 20.0]], jnp.float32)
+    dW, bias, d_in = gradients.fc_backward_float(layer, x, out, jnp.asarray(layer.weights), g)
+    # dequantized input [0.5*(3-1), 0.5*(5-1)] = [1, 2]; only col 0 active
+    assert np.allclose(np.asarray(dW), [[10.0, 0.0], [20.0, 0.0]])
+    assert np.allclose(np.asarray(bias), [10.0, 0.0])
+    # dIn = masked_g @ (0.25 * W)^T = [10,0] @ [[0.5,0.25],[-0.25,0.75]]^T
+    assert np.allclose(np.asarray(d_in), [[5.0, 2.5]])
+
+
 @pytest.fixture(scope="module")
 def sine_trainer():
     return compile_tflite_train(
