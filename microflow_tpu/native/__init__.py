@@ -43,6 +43,28 @@ def _ensure_built():
             ctypes.c_char_p,
             ctypes.c_size_t,
         ]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
+        lib.mf_fold_fc.restype = None
+        lib.mf_fold_fc.argtypes = [
+            ctypes.c_float, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_int64, ctypes.c_float,
+            i32p, ctypes.c_int32, i8p, ctypes.c_int32,
+            f32p, f32p, i32p, i32p,
+        ]
+        lib.mf_fold_conv.restype = None
+        lib.mf_fold_conv.argtypes = [
+            ctypes.c_float, ctypes.c_float,
+            f32p, ctypes.c_int32, f32p, i64p, ctypes.c_int32,
+            i32p, ctypes.c_int32, f32p, f32p,
+        ]
+        lib.mf_fold_avgpool.restype = None
+        lib.mf_fold_avgpool.argtypes = [
+            ctypes.c_float, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+            f32p, f32p,
+        ]
         _lib = lib
     except Exception as e:  # no compiler / load failure -> python fallback
         _build_error = str(e)
@@ -68,3 +90,54 @@ def parse_metadata(buf: bytes) -> dict:
             cap = (-rc - 2) + 16
             continue
         return json.loads(out.value.decode("utf-8"))
+
+
+def fold_fc(in_scale, in_zp, w_scale, w_zp, bias_scale, bias_zp, out_scale,
+            bias: np.ndarray, weights_kn: np.ndarray):
+    """Native FC constant folding -> (c0 f32[N], c1 f32, c2 i32[N], c3 i32)."""
+    _ensure_built()
+    if _lib is None:
+        raise RuntimeError(f"native fold unavailable: {_build_error}")
+    bias = np.ascontiguousarray(bias, np.int32)
+    w = np.ascontiguousarray(weights_kn, np.int8)
+    k, n = w.shape
+    c0 = np.empty(n, np.float32)
+    c1 = np.empty(1, np.float32)
+    c2 = np.empty(n, np.int32)
+    c3 = np.empty(1, np.int32)
+    _lib.mf_fold_fc(
+        np.float32(in_scale), int(in_zp), np.float32(w_scale), int(w_zp),
+        np.float32(bias_scale), int(bias_zp), np.float32(out_scale),
+        bias, n, w, k, c0, c1, c2, c3,
+    )
+    return c0, np.float32(c1[0]), c2, int(c3[0])
+
+
+def fold_conv(in_scale, out_scale, w_scales, bias_scales, bias_zps,
+              bias: np.ndarray, num_filters: int):
+    """Native conv/dwconv folding -> (c0 f32[F], c1 f32[n_wq])."""
+    _ensure_built()
+    if _lib is None:
+        raise RuntimeError(f"native fold unavailable: {_build_error}")
+    ws = np.ascontiguousarray(w_scales, np.float32)
+    bs = np.ascontiguousarray(bias_scales, np.float32)
+    bz = np.ascontiguousarray(bias_zps, np.int64)
+    bias = np.ascontiguousarray(bias, np.int32)
+    c0 = np.empty(num_filters, np.float32)
+    c1 = np.empty(len(ws), np.float32)
+    _lib.mf_fold_conv(
+        np.float32(in_scale), np.float32(out_scale),
+        ws, len(ws), bs, bz, len(bs), bias, num_filters, c0, c1,
+    )
+    return c0, c1
+
+
+def fold_avgpool(in_scale, in_zp, out_scale, out_zp):
+    """Native avgpool folding -> (c0 f32, c1 f32)."""
+    _ensure_built()
+    if _lib is None:
+        raise RuntimeError(f"native fold unavailable: {_build_error}")
+    c0 = np.empty(1, np.float32)
+    c1 = np.empty(1, np.float32)
+    _lib.mf_fold_avgpool(np.float32(in_scale), int(in_zp), np.float32(out_scale), int(out_zp), c0, c1)
+    return np.float32(c0[0]), np.float32(c1[0])

@@ -271,3 +271,65 @@ extern "C" int mf_parse_tflite(const uint8_t* buf, size_t len, char* out, size_t
   std::memcpy(out, j.s.c_str(), j.s.size() + 1);
   return (int)j.s.size();
 }
+
+// ---------------------------------------------------------------------------
+// Requantization-constant folding (native equivalent of the reference
+// compiler's preprocess() steps, microflow-macros/src/ops/*.rs -- C5-C8 in
+// SURVEY.md).  All float arithmetic is plain f32 in the same association
+// order as the Rust code (and as compiler/folding.py), so the constants
+// are bit-identical across the native and Python folds.
+
+extern "C" void mf_fold_fc(
+    float in_scale, int32_t in_zp,
+    float w_scale, int32_t w_zp,
+    float bias_scale, int64_t bias_zp,
+    float out_scale,
+    const int32_t* bias, int32_t n,
+    const int8_t* weights, int32_t k,  // [K, N] row-major (runtime layout)
+    float* c0_out, float* c1_out, int32_t* c2_out, int32_t* c3_out) {
+  // C0[j] = bias_scale/out_scale * (bias[j] - bias_zp)
+  // (fully_connected.rs:96-119)
+  float s = bias_scale / out_scale;
+  for (int32_t j = 0; j < n; ++j) {
+    c0_out[j] = s * (float)((int64_t)bias[j] - bias_zp);
+  }
+  // C1 = in_scale * w_scale / out_scale  (left-assoc)
+  *c1_out = in_scale * w_scale / out_scale;
+  // C2[j] = colsum(W)[j] * in_zp   (i64 accumulate, i32 result)
+  for (int32_t j = 0; j < n; ++j) {
+    int64_t acc = 0;
+    for (int32_t r = 0; r < k; ++r) acc += (int64_t)weights[(size_t)r * n + j];
+    c2_out[j] = (int32_t)(acc * in_zp);
+  }
+  // C3 = K * in_zp * w_zp
+  *c3_out = (int32_t)((int64_t)k * in_zp * w_zp);
+  (void)in_zp;
+}
+
+extern "C" void mf_fold_conv(
+    float in_scale, float out_scale,
+    const float* w_scales, int32_t n_wq,
+    const float* bias_scales, const int64_t* bias_zps, int32_t n_bq,
+    const int32_t* bias, int32_t n_filters,
+    float* c0_out, float* c1_out) {
+  // C0[b] = bias_scale[b]/out_scale * (bias[b] - bias_zp[b]); per-channel
+  // params fall back to entry 0 (the reference .get(b).unwrap_or(p[0])
+  // pattern, conv_2d.rs:90-110 / depthwise_conv_2d.rs:96-116)
+  for (int32_t b = 0; b < n_filters; ++b) {
+    float bs = bias_scales[b < n_bq ? b : 0];
+    int64_t bz = bias_zps[b < n_bq ? b : 0];
+    c0_out[b] = bs / out_scale * (float)((int64_t)bias[b] - bz);
+  }
+  // C1[q] = in_scale * w_scale[q] / out_scale
+  for (int32_t q = 0; q < n_wq; ++q) {
+    c1_out[q] = in_scale * w_scales[q] / out_scale;
+  }
+}
+
+extern "C" void mf_fold_avgpool(
+    float in_scale, int32_t in_zp, float out_scale, int32_t out_zp,
+    float* c0_out, float* c1_out) {
+  // average_pool_2d.rs:73-79
+  *c0_out = in_scale / out_scale;
+  *c1_out = (float)out_zp - (in_scale * (float)in_zp) / out_scale;
+}
