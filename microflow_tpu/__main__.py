@@ -56,11 +56,19 @@ def cmd_predict(args):
 
 
 def cmd_bench(args):
+    import os
     import subprocess
 
-    sys.exit(subprocess.call(
-        [sys.executable, "bench.py", "--model", args.model, "--batch", str(args.batch)]
-    ))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = os.path.join(root, "bench.py")
+    model = args.model
+    if not os.path.exists(model) and os.path.exists(os.path.join(root, model)):
+        model = os.path.join(root, model)
+    cmd = [sys.executable, bench, "--model", model,
+           "--batch", str(args.batch), "--iters", str(args.iters)]
+    if args.backend:
+        cmd += ["--backend", args.backend]
+    sys.exit(subprocess.call(cmd))
 
 
 def cmd_synth(args):
@@ -97,6 +105,8 @@ def main(argv=None):
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.add_argument("model", nargs="?", default="models/person_detect.tflite")
     p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "fused"])
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("synth", help="write a synthetic test model")

@@ -242,8 +242,8 @@ def apply_layer(layer, params: dict, x: jax.Array, backend: str = "xla") -> jax.
     raise TypeError(f"unknown layer {type(layer)}")
 
 
-def default_backend(graph: Graph | None = None) -> str:
-    """Backend auto-selection.
+def default_backend() -> str:
+    """Backend selection.
 
     * ``fused`` -- the whole-model Pallas megakernel
       (``kernels/megakernel.py``): one VMEM-resident pass per batch block,
@@ -271,7 +271,7 @@ class CompiledModel:
 
     def __init__(self, graph: Graph, backend: str | None = None):
         self.graph = graph
-        self.backend = backend or default_backend(graph)
+        self.backend = backend or default_backend()
         self._fused_forward = None
         if self.backend == "fused":
             from ..kernels.megakernel import build_fused_forward, fusable

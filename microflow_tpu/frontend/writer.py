@@ -177,7 +177,9 @@ class ModelWriter:
             self.opcodes.append(op)
         return self.opcodes.index(op)
 
-    def add_op(self, op: BuiltinOperator, inputs, outputs, options: list | None):
+    def add_op(self, op: BuiltinOperator, inputs, outputs, options):
+        """``options``: a field list, a callable(Writer) -> field list (for
+        options that embed vectors, e.g. ReshapeOptions.new_shape), or None."""
         self.operators.append((self._opcode(op), op, list(inputs), list(outputs), options))
 
     # -- option builders (field ids per tflite.fbs) -------------------------
@@ -206,6 +208,14 @@ class ModelWriter:
     @staticmethod
     def softmax_options(beta: float = 1.0):
         return [(0, "f32", beta)]
+
+    @staticmethod
+    def reshape_options(new_shape):
+        """ReshapeOptions.new_shape (tflite.fbs:793-795) -- required for the
+        official TFLite runtime, which otherwise defaults the target to a
+        scalar when no shape input tensor is present."""
+        shape = list(new_shape)
+        return lambda w: [(0, "offset", w.vector_numeric(shape, np.int32))]
 
     def finish(self, inputs: list, outputs: list) -> bytes:
         w = Writer()
@@ -238,7 +248,8 @@ class ModelWriter:
             fields = [(0, "u32", opcode_idx), (1, "offset", ins_off),
                       (2, "offset", outs_off)]
             if options is not None:
-                opt_off = w.table(options)
+                fields_list = options(w) if callable(options) else options
+                opt_off = w.table(fields_list)
                 fields += [(3, "u8", _UNION[op]), (4, "offset", opt_off)]
             op_offs.append(w.table(fields))
         ops_vec = w.vector_offsets(op_offs)

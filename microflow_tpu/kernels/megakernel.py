@@ -356,10 +356,13 @@ def fusable(graph: Graph) -> bool:
         if isinstance(layer, SoftmaxLayer):
             if i != len(graph.layers) - 1:
                 return False
+        elif isinstance(layer, QuantizeLayer):
+            if np.dtype(layer.out_dtype) != np.int8:
+                return False  # kernel pipeline is int8-only
         elif not isinstance(
             layer,
             (Conv2DLayer, DepthwiseConv2DLayer, FullyConnectedLayer,
-             AveragePool2DLayer, ReshapeLayer, QuantizeLayer),
+             AveragePool2DLayer, ReshapeLayer),
         ):
             return False
     return True
@@ -463,9 +466,7 @@ def build_fused_forward(graph: Graph):
             elif isinstance(layer, AveragePool2DLayer):
                 cur.append(_plan_avgpool(layer))
             elif isinstance(layer, QuantizeLayer):
-                if np.dtype(layer.out_dtype) != np.int8:
-                    raise TypeError("megakernel: QUANTIZE to non-int8")
-                cur.append(_plan_quantize(layer))
+                cur.append(_plan_quantize(layer))  # int8-only, gated by fusable()
             else:
                 raise TypeError(f"megakernel: unsupported layer {type(layer)}")
             shape = tuple(layer.out_shape)

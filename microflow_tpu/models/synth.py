@@ -81,7 +81,7 @@ def lenet(seed: int = 0) -> bytes:
              m.pool_options(Padding.VALID, (2, 2), (2, 2), Act.NONE))
 
     x5 = m.tensor([1, 144], I8, a3_s, a3_zp, name="flat")
-    m.add_op(Op.RESHAPE, [x4], [x5], None)
+    m.add_op(Op.RESHAPE, [x4], [x5], m.reshape_options([1, 144]))
 
     w6, w6s = _qweights(rng, (32, 144), 0.1)  # tflite FC layout [out, in]
     b6, b6s = _qbias(rng, 32, a3_s, w6s)
@@ -137,7 +137,7 @@ def full_ops(seed: int = 1) -> bytes:
              m.pool_options(Padding.SAME, (2, 2), (3, 3), Act.NONE))
 
     x5 = m.tensor([1, 16], I8, 0.03, 0, name="flat")
-    m.add_op(Op.RESHAPE, [x4], [x5], None)
+    m.add_op(Op.RESHAPE, [x4], [x5], m.reshape_options([1, 16]))
 
     wf, wfs = _qweights(rng, (3, 16), 0.3)
     bf, bfs = _qbias(rng, 3, 0.03, wfs)

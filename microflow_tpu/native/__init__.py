@@ -57,7 +57,7 @@ def _ensure_built():
         lib.mf_fold_conv.restype = None
         lib.mf_fold_conv.argtypes = [
             ctypes.c_float, ctypes.c_float,
-            f32p, ctypes.c_int32, f32p, i64p, ctypes.c_int32,
+            f32p, ctypes.c_int32, f32p, ctypes.c_int32, i64p, ctypes.c_int32,
             i32p, ctypes.c_int32, f32p, f32p,
         ]
         lib.mf_fold_avgpool.restype = None
@@ -127,7 +127,7 @@ def fold_conv(in_scale, out_scale, w_scales, bias_scales, bias_zps,
     c1 = np.empty(len(ws), np.float32)
     _lib.mf_fold_conv(
         np.float32(in_scale), np.float32(out_scale),
-        ws, len(ws), bs, bz, len(bs), bias, num_filters, c0, c1,
+        ws, len(ws), bs, len(bs), bz, len(bz), bias, num_filters, c0, c1,
     )
     return c0, c1
 

@@ -309,15 +309,19 @@ extern "C" void mf_fold_fc(
 extern "C" void mf_fold_conv(
     float in_scale, float out_scale,
     const float* w_scales, int32_t n_wq,
-    const float* bias_scales, const int64_t* bias_zps, int32_t n_bq,
+    const float* bias_scales, int32_t n_bs,
+    const int64_t* bias_zps, int32_t n_bz,
     const int32_t* bias, int32_t n_filters,
     float* c0_out, float* c1_out) {
   // C0[b] = bias_scale[b]/out_scale * (bias[b] - bias_zp[b]); per-channel
   // params fall back to entry 0 (the reference .get(b).unwrap_or(p[0])
   // pattern, conv_2d.rs:90-110 / depthwise_conv_2d.rs:96-116)
+  // scale and zero_point arrays may have different lengths (a model may
+  // carry per-channel scales with a single zero_point); each falls back
+  // to its own entry 0 independently, like the numpy oracle's _get()
   for (int32_t b = 0; b < n_filters; ++b) {
-    float bs = bias_scales[b < n_bq ? b : 0];
-    int64_t bz = bias_zps[b < n_bq ? b : 0];
+    float bs = bias_scales[b < n_bs ? b : 0];
+    int64_t bz = bias_zps[b < n_bz ? b : 0];
     c0_out[b] = bs / out_scale * (float)((int64_t)bias[b] - bz);
   }
   // C1[q] = in_scale * w_scale[q] / out_scale

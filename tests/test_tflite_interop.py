@@ -1,0 +1,62 @@
+"""Interop with the OFFICIAL TFLite runtime.
+
+The strongest external validation available: a model fabricated by the
+engine's own writer must (a) load in ``tf.lite.Interpreter`` and (b)
+produce outputs matching this engine within 1 LSB (TFLite requantizes
+through fixed-point multipliers where the reference/this engine use exact
+f32; both round the same real value, so results differ by at most one
+output quantum on ties).
+
+Only stride-1 SAME geometry is compared: for stride-2 SAME the reference
+pads top/left ((K-1)/2), while TFLite balances bottom/right-heavy -- a
+documented semantic difference (core/tensor.py), not a bug.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from microflow_tpu.compiler.builder import build
+from microflow_tpu.frontend import parser
+from microflow_tpu.models import synth
+
+
+@pytest.fixture(scope="module")
+def lenet_bytes():
+    return synth.lenet()
+
+
+def test_official_interpreter_loads_and_runs(lenet_bytes, tmp_path):
+    interp = tf.lite.Interpreter(model_content=lenet_bytes)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    assert inp["shape"].tolist() == [1, 12, 12, 1]
+    assert out["shape"].tolist() == [1, 10]
+    assert inp["dtype"] == np.int8 and out["dtype"] == np.int8
+
+
+def test_engine_matches_official_interpreter(lenet_bytes, tmp_path):
+    path = str(tmp_path / "lenet.tflite")
+    with open(path, "wb") as f:
+        f.write(lenet_bytes)
+    model = build(parser.parse(path, name="lenet"))
+
+    interp = tf.lite.Interpreter(model_content=lenet_bytes)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+
+    rng = np.random.default_rng(17)
+    worst = 0
+    for _ in range(8):
+        xq = rng.integers(-128, 128, (1, 12, 12, 1), dtype=np.int8)
+        interp.set_tensor(inp["index"], xq)
+        interp.invoke()
+        want = interp.get_tensor(out["index"]).astype(np.int32)
+        got = np.asarray(model.predict_inner(xq)).astype(np.int32)
+        worst = max(worst, int(np.abs(got - want).max()))
+    # <= 1 LSB: TFLite's fixed-point requant vs the engine's exact-f32
+    # requant (the reference's own accuracy analysis shows the same +-1)
+    assert worst <= 1, f"max deviation {worst} LSB vs official TFLite"
