@@ -91,6 +91,37 @@ def test_lenet_trains(lenet_path):
     assert (before != after).any()
 
 
+def test_lenet_training_improves_accuracy(lenet_path):
+    """Behavioral convergence on a separable toy task (the reference's
+    only training validation is exactly this kind of accuracy loop,
+    examples/leNet_train.rs:104-164)."""
+    from microflow_tpu.train.trainer import compile_tflite_train
+
+    m = compile_tflite_train(lenet_path, 2, "crossentropy", True, name="lenet")
+    rng = np.random.default_rng(0)
+
+    def make_batch(n):
+        x = rng.uniform(-1, 1, (n, 12, 12, 1)).astype(np.float32)
+        cls = rng.integers(0, 10, n)
+        for i, c in enumerate(cls):
+            x[i, (c % 3) * 4 : (c % 3) * 4 + 4, (c // 3) * 3 : (c // 3) * 3 + 3, 0] += 1.5
+        labels = np.full((n, 10), -128, np.int8)
+        labels[np.arange(n), cls] = 127
+        return x, labels, cls
+
+    def accuracy():
+        x, _, cls = make_batch(256)
+        return float((np.asarray(m.predict(x)).argmax(1) == cls).mean())
+
+    before = accuracy()
+    for _ in range(25):
+        x, labels, _ = make_batch(32)
+        m.predict_train(x, labels, 0.05)
+        m.update_layers(32, 0.05)
+    after = accuracy()
+    assert after > before + 0.15, (before, after)
+
+
 def test_full_ops_model_quantize_op(fullops_path):
     """End-to-end graph containing QUANTIZE (+ all other builtins)."""
     g = parser.parse(fullops_path, name="full_ops")
