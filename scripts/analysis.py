@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Analysis harness (reference ``analysis/`` directory equivalent).
+
+Produces CSV artifacts under ``analysis/data/``:
+
+* ``latency.csv``  -- person_detect latency/throughput vs batch size on
+  the current device (the reference's ``performance/data/*.csv`` analog);
+* ``parity.csv``   -- max |delta| in output LSB between the engine's
+  backends per model (the reference's ``accuracy/data/*.csv`` analog;
+  0 = bit-exact).
+
+Run on TPU: ``python scripts/analysis.py``.
+"""
+
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.normpath(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, ROOT)
+OUT = os.path.join(ROOT, "analysis", "data")
+os.makedirs(OUT, exist_ok=True)
+
+
+def latency_sweep():
+    import jax
+    import jax.numpy as jnp
+
+    from microflow_tpu import compile_tflite
+
+    model = compile_tflite(os.path.join(ROOT, "models", "person_detect.tflite"))
+
+    rows = []
+    for batch in (64, 256, 1024, 4096, 8192, 16384):
+        @jax.jit
+        def chain(params, xq):
+            yq = model._forward(params, xq)
+            bump = yq.reshape(yq.shape[0], -1)[:, :1]
+            bump = bump.reshape(bump.shape + (1,) * (xq.ndim - bump.ndim))
+            return (xq + bump).astype(xq.dtype), yq
+
+        xq = jax.device_put(
+            jax.random.randint(jax.random.PRNGKey(0), (batch, 96, 96, 1), -128, 128, dtype=jnp.int8)
+        )
+        x, y = chain(model.params, xq)
+        _ = int(y.reshape(-1)[0])
+        # enough serialized iterations to amortize dispatch + settle clocks
+        iters = int(min(200, max(20, 2_000_000 // batch)))
+        t0 = time.time()
+        for _ in range(iters):
+            x, y = chain(model.params, x)
+        _ = int(y.reshape(-1)[0])
+        dt = (time.time() - t0) / iters
+        rows.append((batch, dt * 1e6, batch / dt))
+        print(f"batch {batch:>6}: {dt*1e3:8.3f} ms  {batch/dt:12,.0f} inf/s", file=sys.stderr)
+
+    with open(os.path.join(OUT, "latency.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["batch", "latency_us", "inferences_per_s"])
+        for r in rows:
+            w.writerow([r[0], f"{r[1]:.1f}", f"{r[2]:.0f}"])
+
+
+def parity_report():
+    from microflow_tpu import compile_tflite
+
+    cases = [("sine", (8, 1)), ("speech", (2, 1960)), ("person_detect", (2, 96, 96, 1))]
+    rows = []
+    rng = np.random.default_rng(1)
+    for name, shape in cases:
+        path = os.path.join(ROOT, "models", f"{name}.tflite")
+        ref = compile_tflite(path, backend="xla")
+        xq = rng.integers(-128, 128, shape, dtype=np.int8)
+        base = np.asarray(ref.predict_inner(xq)).astype(np.int32)
+        for backend in ("pallas", "fused"):
+            alt = compile_tflite(path, backend=backend)
+            got = np.asarray(alt.predict_inner(xq)).astype(np.int32)
+            delta = int(np.abs(base - got).max())
+            rows.append((name, backend, delta))
+            print(f"{name:<14} {backend:<7} max|delta| = {delta} LSB", file=sys.stderr)
+
+    with open(os.path.join(OUT, "parity.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["model", "backend", "max_delta_lsb_vs_xla"])
+        w.writerows(rows)
+
+
+if __name__ == "__main__":
+    parity_report()
+    latency_sweep()
