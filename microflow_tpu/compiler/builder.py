@@ -273,12 +273,17 @@ class CompiledModel:
         self.graph = graph
         self.backend = backend or default_backend()
         self._fused_forward = None
-        if self.backend == "fused":
-            from ..kernels.megakernel import build_fused_forward, fusable
+        if self.backend in ("fused", "hybrid"):
+            from ..kernels.megakernel import (
+                build_fused_forward,
+                fusable,
+                hybrid_split_index,
+            )
 
             if not fusable(graph):
                 raise ValueError("graph is not megakernel-fusable; use backend='xla'")
-            self._fused_forward = build_fused_forward(graph)
+            start = hybrid_split_index(graph) if self.backend == "hybrid" else 0
+            self._fused_forward = build_fused_forward(graph, start_index=start)
         self.params = init_params(graph)
         self._jit_predict = jax.jit(self._predict_from_quantized)
         self._jit_inner = jax.jit(self._forward)

@@ -411,19 +411,45 @@ def _segment_call(plans: list, in_shape: tuple, out_shape: tuple, xq):
     return out[:B]
 
 
-def build_fused_forward(graph: Graph):
+def hybrid_split_index(graph: Graph, min_channels: int = 64) -> int:
+    """First layer index from which the fused kernel is lane-efficient:
+    the layer's per-sample input has a last dim >= ``min_channels``
+    (Mosaic packs the minor dim into 128 lanes; see docs/PERFORMANCE.md).
+    Returns len(layers) when no such point exists."""
+    shape = tuple(graph.input_shape)
+    for i, layer in enumerate(graph.layers):
+        if len(shape) >= 1 and shape[-1] >= min_channels and not isinstance(
+            layer, SoftmaxLayer
+        ):
+            return i
+        shape = tuple(getattr(layer, "out_shape", shape))
+    return len(graph.layers)
+
+
+def build_fused_forward(graph: Graph, start_index: int = 0):
     """Returns ``forward(params, xq) -> yq``: pallas segments stitched
-    with free XLA reshapes; trailing softmax (if any) as a plain XLA op."""
+    with free XLA reshapes; trailing softmax (if any) as a plain XLA op.
+
+    ``start_index`` > 0 gives the *hybrid* mode: layers before it run via
+    the XLA backend (lane-hostile small-channel prefix), the rest in the
+    fused kernel."""
     layers = list(graph.layers)
     tail_softmax = None
     if layers and isinstance(layers[-1], SoftmaxLayer):
         tail_softmax = layers[-1]
         layers = layers[:-1]
+    prefix = [l for l in layers if l.index < start_index]
+    layers = [l for l in layers if l.index >= start_index]
 
     def forward(params, xq):
+        if prefix:
+            from ..compiler.builder import apply_layer
+
+            for layer in prefix:
+                xq = apply_layer(layer, params, xq, "xla")
         # build the plan list lazily (params are traced values)
         steps = []  # ("seg", plans, in_shape, out_shape) | ("reshape", shape)
-        shape = tuple(graph.input_shape)
+        shape = tuple(prefix[-1].out_shape) if prefix else tuple(graph.input_shape)
         cur: list = []
         cur_in = shape
 

@@ -21,7 +21,7 @@ def _rand_input(shape, rng):
     return rng.uniform(-1.5, 1.5, shape).astype(np.float32)
 
 
-@pytest.mark.parametrize("backend", ["pallas", "fused"])
+@pytest.mark.parametrize("backend", ["pallas", "fused", "hybrid"])
 @pytest.mark.parametrize(
     "model,shape",
     [("sine", (7, 1)), ("speech", (3, 1960))],
