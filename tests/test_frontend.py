@@ -90,3 +90,24 @@ def test_parse_sine_weights_transposed():
     fc0 = g.layers[0]
     assert fc0.weights.shape == (1, 16)  # tflite [16, 1] transposed
     assert fc0.c2.shape == (16,)
+
+
+def test_parser_rejects_corrupt_files(tmp_path):
+    """Parse failures abort with diagnostics (reference abort_call_site!,
+    microflow-macros/src/lib.rs:50-58) -- never crash or mis-parse."""
+    import pytest
+
+    from microflow_tpu.frontend import parser
+
+    bad = tmp_path / "bad.tflite"
+    bad.write_bytes(b"\x00\x01\x02\x03NOPE" + b"\x00" * 64)
+    with pytest.raises(Exception) as e:
+        parser.parse(str(bad), frontend="python")
+    assert "TFLite" in str(e.value) or "identifier" in str(e.value)
+
+    truncated = tmp_path / "trunc.tflite"
+    with open("models/sine.tflite", "rb") as f:
+        data = f.read()
+    truncated.write_bytes(data[: len(data) // 3])
+    with pytest.raises(Exception):
+        parser.parse(str(truncated), frontend="python")
