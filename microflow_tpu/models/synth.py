@@ -156,3 +156,39 @@ def write(path: str, data: bytes) -> str:
     with open(path, "wb") as f:
         f.write(data)
     return path
+
+
+def uint8_mlp(seed: int = 2) -> bytes:
+    """A uint8-era model: u8 activations and weights throughout
+    (the reference's ``Quantized`` trait covers u8 alongside i8,
+    ``src/quantize.rs:7-8``): [B,16] -> fc8(relu) -> fc4 -> softmax."""
+    rng = np.random.default_rng(seed)
+    U8 = TensorType.UINT8
+    m = ModelWriter("microflow_tpu synthetic uint8 mlp")
+
+    x0 = m.tensor([1, 16], U8, 1 / 64.0, 128, name="input")
+
+    def uw(shape):
+        w = rng.normal(0.0, 0.2, shape).astype(np.float32)
+        scale = np.float32(max(np.abs(w).max() / 127.0, 1e-6))
+        q = np.clip(np.round(w / scale) + 128, 0, 255).astype(np.uint8)
+        return q, float(scale)
+
+    w1, w1s = uw((8, 16))
+    b1, b1s = _qbias(rng, 8, 1 / 64.0, w1s)
+    t_w1 = m.tensor([8, 16], U8, w1s, 128, data=w1, name="fc1_w")
+    t_b1 = m.tensor([8], I32, b1s, 0, data=b1, name="fc1_b")
+    x1 = m.tensor([1, 8], U8, 1 / 32.0, 0, name="fc1_out")
+    m.add_op(Op.FULLY_CONNECTED, [x0, t_w1, t_b1], [x1], m.fc_options(Act.RELU))
+
+    w2, w2s = uw((4, 8))
+    b2, b2s = _qbias(rng, 4, 1 / 32.0, w2s)
+    t_w2 = m.tensor([4, 8], U8, w2s, 128, data=w2, name="fc2_w")
+    t_b2 = m.tensor([4], I32, b2s, 0, data=b2, name="fc2_b")
+    x2 = m.tensor([1, 4], U8, 1 / 16.0, 128, name="logits")
+    m.add_op(Op.FULLY_CONNECTED, [x1, t_w2, t_b2], [x2], m.fc_options(Act.NONE))
+
+    x3 = m.tensor([1, 4], U8, 1 / 256.0, 0, name="probs")
+    m.add_op(Op.SOFTMAX, [x2], [x3], m.softmax_options(1.0))
+
+    return m.finish([x0], [x3])

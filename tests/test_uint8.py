@@ -95,3 +95,27 @@ def test_depthwise_uint8_channel_fallback():
     )
     assert out.dtype == jnp.uint8
     assert out.shape == (1, 4, 4, 2)
+
+
+def test_uint8_model_end_to_end(tmp_path):
+    """A full uint8 model (u8 activations AND weights) through parse ->
+    fold -> build -> predict; probabilities must be sane and the output
+    dtype u8 throughout the quantized pipeline."""
+    from microflow_tpu.compiler.builder import build
+    from microflow_tpu.frontend import parser
+    from microflow_tpu.models import synth
+
+    path = str(tmp_path / "u8.tflite")
+    synth.write(path, synth.uint8_mlp())
+    g = parser.parse(path, name="u8")
+    assert np.dtype(g.input_dtype) == np.uint8
+    m = build(g)
+    x = np.random.default_rng(3).uniform(-1, 1, (6, 16)).astype(np.float32)
+    xq = np.asarray(m.quantize_input(x))
+    assert xq.dtype == np.uint8
+    yq = np.asarray(m.predict_inner(xq))
+    assert yq.dtype == np.uint8
+    probs = np.asarray(m.predict(x))
+    assert probs.shape == (6, 4)
+    assert (probs >= 0).all()
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=0.05)
