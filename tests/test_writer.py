@@ -148,3 +148,42 @@ def test_full_ops_cross_backend(fullops_path):
     alt = build(parser.parse(fullops_path), backend="fused")
     x = np.random.default_rng(3).uniform(-1, 1, (3, 8, 8, 2)).astype(np.float32)
     assert np.array_equal(np.asarray(ref.predict(x)), np.asarray(alt.predict(x)))
+
+
+def test_lenet_conv_training_converges(lenet_path):
+    """Deep training through the conv/pool/reshape backward chain
+    (reference conv gradients, gradient_conv_2d.rs): training 7 layers
+    must update the conv filters and still improve accuracy."""
+    from microflow_tpu.train.trainer import compile_tflite_train
+
+    m = compile_tflite_train(lenet_path, 7, "crossentropy", True, name="lenet")
+    # backward reaches conv2 (index 2) through pool/reshape/fc layers
+    assert 2 in m.backward_indices
+    rng = np.random.default_rng(1)
+
+    def make_batch(n):
+        x = rng.uniform(-1, 1, (n, 12, 12, 1)).astype(np.float32)
+        cls = rng.integers(0, 10, n)
+        for i, c in enumerate(cls):
+            x[i, (c % 3) * 4 : (c % 3) * 4 + 4, (c // 3) * 3 : (c // 3) * 3 + 3, 0] += 1.5
+        labels = np.full((n, 10), -128, np.int8)
+        labels[np.arange(n), cls] = 127
+        return x, labels, cls
+
+    def accuracy():
+        x, _, cls = make_batch(256)
+        return float((np.asarray(m.predict(x)).argmax(1) == cls).mean())
+
+    conv_before = np.asarray(m.params["layer2"]["weights"]).copy()
+    before = accuracy()
+    for _ in range(20):
+        x, labels, _ = make_batch(32)
+        m.predict_train(x, labels, 0.05)
+        m.update_layers(32, 0.05)
+    after = accuracy()
+    conv_after = np.asarray(m.params["layer2"]["weights"])
+    assert (conv_before != conv_after).any(), "conv filters never updated"
+    # deep integer backprop moves slowly (clip-norm SGD on i8 weights);
+    # assert direction, not magnitude -- the reference's own training has
+    # no quality gate at all (SURVEY §4: "no automated tests")
+    assert after > before, (before, after)
