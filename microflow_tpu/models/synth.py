@@ -192,3 +192,42 @@ def uint8_mlp(seed: int = 2) -> bytes:
     m.add_op(Op.SOFTMAX, [x2], [x3], m.softmax_options(1.0))
 
     return m.finish([x0], [x3])
+
+
+def per_channel_dw(seed: int = 4) -> bytes:
+    """A dwconv with PER-CHANNEL weight quantization (quantized_dimension=3,
+    the legacy layout person_detect uses that modern TFLite runtimes
+    reject -- SURVEY §7 hard part (c)): [B,6,6,4] -> dw3x3(relu) -> fc ->
+    softmax."""
+    rng = np.random.default_rng(seed)
+    m = ModelWriter("microflow_tpu synthetic per-channel dw")
+
+    x0 = m.tensor([1, 6, 6, 4], I8, 0.02, -1, name="input")
+
+    # per-channel symmetric weights: independent scale per channel
+    w = rng.normal(0.0, 0.3, (1, 3, 3, 4)).astype(np.float32)
+    scales = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, 1e-6).astype(np.float32)
+    q = np.clip(np.round(w / scales[None, None, None, :]), -127, 127).astype(np.int8)
+    b = np.round(rng.normal(0, 0.05, 4) / (0.02 * scales)).astype(np.int32)
+    t_w = m.tensor([1, 3, 3, 4], I8, scales, np.zeros(4, np.int64), data=q,
+                   name="dw_w", quantized_dimension=3)
+    t_b = m.tensor([4], I32, (0.02 * scales).astype(np.float32),
+                   np.zeros(4, np.int64), data=b, name="dw_b")
+    x1 = m.tensor([1, 6, 6, 4], I8, 0.03, -128, name="dw_out")
+    m.add_op(Op.DEPTHWISE_CONV_2D, [x0, t_w, t_b], [x1],
+             m.dwconv_options(Padding.SAME, (1, 1), 1, Act.RELU))
+
+    x2 = m.tensor([1, 144], I8, 0.03, -128, name="flat")
+    m.add_op(Op.RESHAPE, [x1], [x2], m.reshape_options([1, 144]))
+
+    wf, wfs = _qweights(rng, (3, 144), 0.2)
+    bf, bfs = _qbias(rng, 3, 0.03, wfs)
+    t_wf = m.tensor([3, 144], I8, wfs, 0, data=wf, name="fc_w")
+    t_bf = m.tensor([3], I32, bfs, 0, data=bf, name="fc_b")
+    x3 = m.tensor([1, 3], I8, 0.05, 0, name="logits")
+    m.add_op(Op.FULLY_CONNECTED, [x2, t_wf, t_bf], [x3], m.fc_options(Act.NONE))
+
+    x4 = m.tensor([1, 3], I8, 1 / 256.0, -128, name="probs")
+    m.add_op(Op.SOFTMAX, [x3], [x4], m.softmax_options(1.0))
+
+    return m.finish([x0], [x4])

