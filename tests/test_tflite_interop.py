@@ -15,7 +15,20 @@ documented semantic difference (core/tensor.py), not a bug.
 import numpy as np
 import pytest
 
-tf = pytest.importorskip("tensorflow")
+
+def _interpreter_cls():
+    """Official interpreter: LiteRT when present, else tf.lite (deprecated
+    in TF 2.20 -- docs/ROADMAP.md)."""
+    try:
+        from ai_edge_litert.interpreter import Interpreter
+
+        return Interpreter
+    except ImportError:
+        tf = pytest.importorskip("tensorflow")
+        return tf.lite.Interpreter
+
+
+Interpreter = _interpreter_cls()
 
 from microflow_tpu.compiler.builder import build
 from microflow_tpu.frontend import parser
@@ -28,7 +41,7 @@ def lenet_bytes():
 
 
 def test_official_interpreter_loads_and_runs(lenet_bytes, tmp_path):
-    interp = tf.lite.Interpreter(model_content=lenet_bytes)
+    interp = Interpreter(model_content=lenet_bytes)
     interp.allocate_tensors()
     inp = interp.get_input_details()[0]
     out = interp.get_output_details()[0]
@@ -43,7 +56,7 @@ def test_engine_matches_official_interpreter(lenet_bytes, tmp_path):
         f.write(lenet_bytes)
     model = build(parser.parse(path, name="lenet"))
 
-    interp = tf.lite.Interpreter(model_content=lenet_bytes)
+    interp = Interpreter(model_content=lenet_bytes)
     interp.allocate_tensors()
     inp = interp.get_input_details()[0]
     out = interp.get_output_details()[0]
@@ -75,7 +88,7 @@ def test_bundled_models_match_official_interpreter(name, shape):
 
     path = os.path.join(os.path.dirname(__file__), "..", "models", f"{name}.tflite")
     model = build(parser.parse(path, name=name))
-    interp = tf.lite.Interpreter(model_path=path)
+    interp = Interpreter(model_path=path)
     interp.allocate_tensors()
     inp = interp.get_input_details()[0]
     out = interp.get_output_details()[0]
