@@ -68,3 +68,34 @@ def test_batch_server_golden(sine):
         assert out[0, 0] == np.float32(0.41348344)
     finally:
         server.stop()
+
+
+def test_batch_server_concurrent_clients(sine):
+    """Many threads submitting simultaneously: every waiter must get its
+    own correct slice back (admission loop coalesces across clients)."""
+    import threading
+
+    server = BatchServer(sine, max_batch=128, max_wait_ms=2.0)
+    try:
+        results = {}
+        errors = []
+
+        def client(i):
+            try:
+                xs = np.full((3, 1), 0.1 * (i % 7), np.float32)
+                results[i] = np.asarray(server.predict(xs))
+            except Exception as e:  # surfaced to the main thread
+                errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert len(results) == 16
+        for i, got in results.items():
+            want = np.asarray(sine.predict(np.full((3, 1), 0.1 * (i % 7), np.float32)))
+            assert np.array_equal(got, want), i
+    finally:
+        server.stop()
