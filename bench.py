@@ -41,18 +41,33 @@ def main():
     from microflow_tpu.utils.flops import macs_per_inference
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    model = compile_tflite(args.model, name="person_detect", backend=args.backend)
+    import os
+    model_name = os.path.splitext(os.path.basename(args.model))[0]
+    model = compile_tflite(args.model, name=model_name, backend=args.backend)
     macs = macs_per_inference(model.graph)
     log(f"model: {args.model} ({len(model.graph.layers)} layers, {macs/1e6:.2f} MMACs/inference)")
 
     # parity guard: golden output must match the Rust reference bit-for-bit
-    golden = np.asarray(model.predict(np.full((1, 96, 96, 1), 0.5, np.float32)))
-    expected = np.array([[0.8046875, 0.1953125]], np.float32)
-    if not np.array_equal(golden, expected):
-        log(f"PARITY FAILURE: {golden} != {expected}")
-        print(json.dumps({"metric": "person_detect_parity", "value": 0, "unit": "bool", "vs_baseline": 0}))
-        return 1
-    log("parity: golden output bit-exact vs Rust reference")
+    # (goldens exist for the three bundled models; other models skip)
+    goldens = {
+        (1,): ("sine", np.array([[0.5]], np.float32),
+               np.array([[0.41348344]], np.float32)),
+        (1960,): ("speech", np.full((1, 1960), 0.5, np.float32),
+                  np.array([[0.15625, 0.2734375, 0.2734375, 0.296875]], np.float32)),
+        (96, 96, 1): ("person_detect", np.full((1, 96, 96, 1), 0.5, np.float32),
+                      np.array([[0.8046875, 0.1953125]], np.float32)),
+    }
+    entry = goldens.get(tuple(model.graph.input_shape))
+    if entry is not None:
+        gname, gin, expected = entry
+        golden = np.asarray(model.predict(gin))
+        if not np.array_equal(golden, expected):
+            log(f"PARITY FAILURE ({gname}): {golden} != {expected}")
+            print(json.dumps({"metric": f"{gname}_parity", "value": 0, "unit": "bool", "vs_baseline": 0}))
+            return 1
+        log(f"parity: {gname} golden output bit-exact vs Rust reference")
+    else:
+        log("parity: no golden for this model (skipped)")
 
     # NOTE: under the axon relay, block_until_ready() returns before remote
     # execution completes, so we (a) chain each batch's input on the
@@ -91,7 +106,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "person_detect_inferences_per_sec_per_chip",
+                "metric": f"{model_name}_inferences_per_sec_per_chip",
                 "value": round(inf_per_s, 1),
                 "unit": "inferences/s",
                 "vs_baseline": round(inf_per_s / BASELINE_INF_PER_S, 1),
