@@ -1,0 +1,51 @@
+"""CLI (`python -m microflow_tpu`) and profiler-surface smoke tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.normpath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _run(*args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "microflow_tpu", *args],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=300,
+    )
+
+
+def test_cli_inspect():
+    r = _run("inspect", "models/speech.tflite")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "DepthwiseConv2D" in r.stdout and "MACs/inference" in r.stdout
+
+
+def test_cli_predict_golden():
+    r = _run("predict", "models/sine.tflite", "--fill", "0.5")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "0.41348344" in r.stdout
+
+
+def test_cli_synth(tmp_path):
+    out = str(tmp_path / "m.tflite")
+    r = _run("synth", "full_ops", out)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.getsize(out) > 500
+
+
+def test_profiler_surfaces(tmp_path):
+    from microflow_tpu import models
+    from microflow_tpu.utils import profiler
+
+    m = models.sine()
+    table = profiler.layer_table(m.graph)
+    assert "FullyConnected" in table and "MACs/inference" in table
+    path = profiler.dump_expansion(m, str(tmp_path / "expansion.txt"))
+    text = open(path).read()
+    assert "jaxpr" in text or "lambda" in text  # the traced program dump
+    stats = profiler.time_predict(m, batch_size=32, iters=3)
+    assert stats["inferences_per_s"] > 0
