@@ -27,10 +27,10 @@ BASELINE_INF_PER_S = 1.0 / 0.896216  # person_detect, nRF52840, BASELINE.md
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="models/person_detect.tflite")
-    # batch 4096 is the measured throughput peak (analysis/data/latency.csv);
-    # 100 serialized iterations let device clocks settle to steady state
-    ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--iters", type=int, default=100)
+    # batch 6144 is the measured throughput peak (analysis/data/latency.csv
+    # + fine sweep); sustained serialized iterations settle device clocks
+    ap.add_argument("--batch", type=int, default=6144)
+    ap.add_argument("--iters", type=int, default=80)
     ap.add_argument("--backend", default=None, help="pallas|xla (default: auto)")
     args = ap.parse_args()
 
