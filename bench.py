@@ -23,6 +23,27 @@ def log(*args):
 
 BASELINE_INF_PER_S = 1.0 / 0.896216  # person_detect, nRF52840, BASELINE.md
 
+# Rust-reference goldens (tests/{sine,speech,person_detect}.rs), keyed by
+# model *name* so user models with colliding input shapes are never
+# mis-compared (a (96,96,1) user model must not be judged against the
+# person_detect golden).
+GOLDENS = {
+    "sine": (np.array([[0.5]], np.float32),
+             np.array([[0.41348344]], np.float32)),
+    "speech": (np.full((1, 1960), 0.5, np.float32),
+               np.array([[0.15625, 0.2734375, 0.2734375, 0.296875]], np.float32)),
+    "person_detect": (np.full((1, 96, 96, 1), 0.5, np.float32),
+                      np.array([[0.8046875, 0.1953125]], np.float32)),
+}
+
+
+def select_golden(model_name, input_shape):
+    """Return (input, expected) for a bundled model, else None."""
+    entry = GOLDENS.get(model_name)
+    if entry is not None and entry[0].shape[1:] == tuple(input_shape):
+        return entry
+    return None
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -48,24 +69,15 @@ def main():
     log(f"model: {args.model} ({len(model.graph.layers)} layers, {macs/1e6:.2f} MMACs/inference)")
 
     # parity guard: golden output must match the Rust reference bit-for-bit
-    # (goldens exist for the three bundled models; other models skip)
-    goldens = {
-        (1,): ("sine", np.array([[0.5]], np.float32),
-               np.array([[0.41348344]], np.float32)),
-        (1960,): ("speech", np.full((1, 1960), 0.5, np.float32),
-                  np.array([[0.15625, 0.2734375, 0.2734375, 0.296875]], np.float32)),
-        (96, 96, 1): ("person_detect", np.full((1, 96, 96, 1), 0.5, np.float32),
-                      np.array([[0.8046875, 0.1953125]], np.float32)),
-    }
-    entry = goldens.get(tuple(model.graph.input_shape))
+    entry = select_golden(model_name, model.graph.input_shape)
     if entry is not None:
-        gname, gin, expected = entry
+        gin, expected = entry
         golden = np.asarray(model.predict(gin))
         if not np.array_equal(golden, expected):
-            log(f"PARITY FAILURE ({gname}): {golden} != {expected}")
-            print(json.dumps({"metric": f"{gname}_parity", "value": 0, "unit": "bool", "vs_baseline": 0}))
+            log(f"PARITY FAILURE ({model_name}): {golden} != {expected}")
+            print(json.dumps({"metric": f"{model_name}_parity", "value": 0, "unit": "bool", "vs_baseline": 0}))
             return 1
-        log(f"parity: {gname} golden output bit-exact vs Rust reference")
+        log(f"parity: {model_name} golden output bit-exact vs Rust reference")
     else:
         log("parity: no golden for this model (skipped)")
 

@@ -70,6 +70,12 @@ def _dwconv_fixed(layer, p, x):
 
 def build_fixed_forward(graph):
     """forward(params, xq) -> yq with fixed-point MAC requants."""
+    # requant_fixed saturates to the int8 range; a uint8 graph would
+    # silently produce wrong-range outputs, so refuse it up front.
+    if np.dtype(graph.input_dtype) != np.int8:
+        raise NotImplementedError(
+            f"fixed-point forward supports int8 graphs only, got {graph.input_dtype}"
+        )
 
     def forward(params, xq):
         x = xq

@@ -96,9 +96,27 @@ def update_weights_2d_float(weights_f32, grad_f32, batch_size: int, lr: float):
     return weights_f32 - jnp.float32(lr) * grad_f32 / jnp.float32(batch_size)
 
 
-# 4D variants share the elementwise math (shape-agnostic in JAX)
+# update_weights_4D shares update_weights_2D's elementwise math
+# (shape-agnostic in JAX)
 update_weights_4d = update_weights_2d
-update_weights_perc_4d = update_weights_perc_2d
+
+
+def update_weights_perc_4d(weights, grad_i32, batch_size: int, lr: float, perc: int):
+    """Top-``perc``-|g| update, 4D semantics (``update_layer.rs:215-260``).
+
+    NOT the 2D math: the reference's 4D variant applies *plain rounded
+    SGD* (``round(lr*g/batch)``, no 127/max rescale) restricted to the
+    top-``perc`` elements by |gradient|.  Tie order matches the
+    reference's insertion sort (earlier-scanned element wins ties),
+    which is ``lax.top_k``'s lowest-flat-index-first order.
+    """
+    flat = jnp.abs(grad_i32).reshape(-1)
+    _, idx = lax.top_k(flat, perc)
+    g = f32(grad_i32.reshape(-1)[idx])
+    delta = _sat_cast_round(jnp.float32(lr) * g / jnp.float32(batch_size), weights.dtype)
+    w = weights.reshape(-1)
+    w = w.at[idx].set(saturating_sub_int(w[idx], delta))
+    return w.reshape(weights.shape)
 
 
 def update_constants_fully_connected(weights, in_zp: int) -> jax.Array:

@@ -49,3 +49,21 @@ def test_profiler_surfaces(tmp_path):
     assert "jaxpr" in text or "lambda" in text  # the traced program dump
     stats = profiler.time_predict(m, batch_size=32, iters=3)
     assert stats["inferences_per_s"] > 0
+
+
+def test_bench_golden_keyed_by_model_name():
+    """A user model whose input shape collides with a bundled model must
+    NOT be compared against that model's golden (VERDICT r1 weak #7)."""
+    sys.path.insert(0, ROOT)
+    try:
+        import bench
+    finally:
+        sys.path.remove(ROOT)
+    # bundled models resolve
+    assert bench.select_golden("sine", (1,)) is not None
+    assert bench.select_golden("person_detect", (96, 96, 1)) is not None
+    # same shape, different name: skipped, not mis-keyed
+    assert bench.select_golden("my_custom_net", (96, 96, 1)) is None
+    assert bench.select_golden("sine_variant", (1,)) is None
+    # name matches but shape doesn't (stale/renamed file): skipped
+    assert bench.select_golden("sine", (2,)) is None
