@@ -60,3 +60,59 @@ def shard_batch(mesh: Mesh, x) -> jax.Array:
 
 def replicate_params(mesh: Mesh, params) -> dict:
     return jax.device_put(params, replicated(mesh))
+
+
+def tp_spec(name: str, arr, n_model: int, min_rows: int) -> P:
+    """Default tensor-parallel policy: shard 2D FC weight matrices (and
+    their i32 gradient accumulators, which must follow the same layout)
+    along the contraction dim (axis 0 -- weights are stored (in, out))
+    over the ``model`` axis.  GSPMD then inserts the psum over partial
+    int32 products; integer addition is associative, so TP execution is
+    bit-identical to replicated execution (asserted in
+    ``tests/test_parallel.py``)."""
+    if (
+        name in ("weights", "weights_gradient")
+        and getattr(arr, "ndim", 0) == 2
+        and arr.shape[0] % n_model == 0
+        and arr.shape[0] >= min_rows
+    ):
+        return P("model", None)
+    return P()
+
+
+def shard_params(mesh: Mesh, tree: dict, policy="tp", min_rows: int | None = None) -> dict:
+    """Place a params/grads tree on ``mesh`` under a sharding policy.
+
+    Replaces the ad-hoc per-layer device_put logic (round-1
+    ``__graft_entry__``); this is the library TP surface (SURVEY.md 2.5).
+
+    ``policy``:
+      * ``"replicate"`` -- everything replicated (DP-only).
+      * ``"tp"`` -- :func:`tp_spec` on every leaf: big 2D FC weights and
+        their gradient accumulators row-sharded over the ``model`` axis,
+        everything else replicated.  Falls back to full replication when
+        the mesh has no ``model`` axis (or it has size 1).
+      * callable ``(layer_key, name, arr) -> PartitionSpec | None`` --
+        custom; ``None`` means replicate.
+    """
+    n_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    if min_rows is None:
+        min_rows = 2 * n_model
+
+    def spec_for(key, name, arr):
+        if callable(policy):
+            s = policy(key, name, arr)
+            return s if s is not None else P()
+        if policy == "replicate" or n_model <= 1:
+            return P()
+        if policy == "tp":
+            return tp_spec(name, arr, n_model, min_rows)
+        raise ValueError(f"unknown sharding policy: {policy!r}")
+
+    return {
+        key: {
+            name: jax.device_put(arr, NamedSharding(mesh, spec_for(key, name, arr)))
+            for name, arr in sub.items()
+        }
+        for key, sub in tree.items()
+    }

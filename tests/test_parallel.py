@@ -99,3 +99,64 @@ def test_batch_server_concurrent_clients(sine):
             assert np.array_equal(got, want), i
     finally:
         server.stop()
+
+
+def test_tp_shard_params_bit_identical_to_replicated():
+    """Library TP policy (shard_params, VERDICT r1 weak #5): a train step
+    + optimizer update with the FC weight matrix row-sharded over the
+    ``model`` axis must be BIT-identical to replicated execution --
+    GSPMD's psum over partial int32 products is associative integer
+    addition, so no tolerance is needed."""
+    from microflow_tpu.parallel import shard_params
+    from microflow_tpu.parallel.mesh import batch_sharding
+    from microflow_tpu.train import compile_tflite_train
+
+    m = compile_tflite_train(
+        os.path.join(MODELS, "speech.tflite"), 2, "crossentropy", True, name="speech"
+    )
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xq = rng.integers(-128, 128, size=(B, 1960)).astype(np.int8)
+    gt = np.full((B, 4), -128, np.int8)
+    gt[:, 1] = 127
+
+    # TP-sharded weights + gradient accumulator
+    params_tp = shard_params(mesh, m.params, policy="tp")
+    grads_tp = shard_params(mesh, m.grads, policy="tp")
+    fc_w = params_tp["layer2"]["weights"]
+    assert not fc_w.sharding.is_fully_replicated  # policy actually sharded it
+    xq_s = jax.device_put(xq, batch_sharding(mesh, 2))
+    gt_s = jax.device_put(gt, batch_sharding(mesh, 2))
+    with mesh:
+        final_tp, loss_tp, grads_tp = jax.jit(m._train_step)(params_tp, grads_tp, xq_s, gt_s)
+        params_tp, grads_tp = jax.jit(m._update_step, static_argnames=("batch_size", "lr"))(
+            params_tp, grads_tp, batch_size=B, lr=0.5
+        )
+        jax.block_until_ready((final_tp, params_tp))
+
+    # replicated single-path execution
+    final_r, loss_r, grads_r = m._train_step(m.params, m.grads, xq, gt)
+    params_r, grads_r = m._update_step(m.params, grads_r, batch_size=B, lr=0.5)
+
+    assert np.array_equal(np.asarray(final_tp), np.asarray(final_r))
+    for key in params_r:
+        for name in params_r[key]:
+            assert np.array_equal(
+                np.asarray(params_tp[key][name]), np.asarray(params_r[key][name])
+            ), (key, name)
+    for key in grads_r:
+        for name in grads_r[key]:
+            assert np.array_equal(
+                np.asarray(grads_tp[key][name]), np.asarray(grads_r[key][name])
+            ), (key, name)
+
+
+def test_shard_params_replicate_policy(sine):
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = jax.tree.map(lambda a: np.asarray(a), sine.params)
+    placed = __import__("microflow_tpu").parallel.shard_params(mesh, sine.params, policy="replicate")
+    for key, sub in placed.items():
+        for name, arr in sub.items():
+            assert arr.sharding.is_fully_replicated, (key, name)
