@@ -1,20 +1,20 @@
-"""Speech (TinyConv) inference demo (reference ``examples/speech.rs``).
-
-The reference feeds precomputed int8 spectrogram features of yes.wav /
-no.wav; here we run the golden constant input plus random features.
-"""
+"""Speech (TinyConv) real-sample classification demo (reference
+``examples/speech.rs``): classify the int8 spectrogram features of
+``yes.wav`` and ``no.wav``."""
 
 import numpy as np
 
 from microflow_tpu import models
+from microflow_tpu.samples import SPEECH_LABELS, load_features
 
 model = models.speech()
 golden_in, golden_out = models.GOLDENS["speech"]
 out = np.asarray(model.predict(golden_in))
-print("golden input ->", out[0].tolist())
-print("expected      ", golden_out[0].tolist())
+print("golden input ->", out[0].tolist(), "(expected", golden_out[0].tolist(), ")")
 
-labels = ["silence", "unknown", "yes", "no"]
-x = np.random.default_rng(0).uniform(0, 1, (4, 1960)).astype(np.float32)
-for row in np.asarray(model.predict(x)):
-    print({l: round(float(p), 3) for l, p in zip(labels, row)})
+feats = load_features()
+for wav, key in (("yes.wav", "speech_yes"), ("no.wav", "speech_no")):
+    probs = np.asarray(model.predict_quantized(feats[key]))[0]
+    print(f"\nInput sample: '{wav}'")
+    print("Prediction: " + ", ".join(f"{p*100:.1f}% {l}" for l, p in zip(SPEECH_LABELS, probs)))
+    print("Outcome:", SPEECH_LABELS[int(np.argmax(probs))].upper())
