@@ -56,9 +56,9 @@ def main():
     devices = jax.devices()
     assert len(devices) >= N_DEVICES, devices
 
-    cases = [("speech", (1960,), 64), ("person_detect", (96, 96, 1), 8)]
+    cases = [("speech", (1960,), 64, 40), ("person_detect", (96, 96, 1), 8, 4)]
     rows = []
-    for name, shape, per_dev_batch in cases:
+    for name, shape, per_dev_batch, iters in cases:
         model = compile_tflite(os.path.join(ROOT, "models", f"{name}.tflite"), name=name)
         rng = np.random.default_rng(0)
         for n in (1, 2, 4, 8):
@@ -69,7 +69,6 @@ def main():
             # unsharded reference: same total batch on device 0
             f1 = jax.jit(model._predict_from_quantized, device=devices[0])
             y1 = np.asarray(f1(model.params, xq))
-            iters = max(3, 12 // n)
             t0 = time.time()
             for _ in range(iters):
                 f1(model.params, xq)[0].block_until_ready()
