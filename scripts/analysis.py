@@ -26,42 +26,49 @@ os.makedirs(OUT, exist_ok=True)
 
 
 def latency_sweep():
+    """All three bundled models (reference benches/{sine,speech,
+    person_detect}.rs analog), throughput vs batch on the current device."""
     import jax
     import jax.numpy as jnp
 
     from microflow_tpu import compile_tflite
 
-    model = compile_tflite(os.path.join(ROOT, "models", "person_detect.tflite"))
-
+    cases = [
+        ("sine", (1,), (1024, 16384, 131072, 524288)),
+        ("speech", (1960,), (256, 1024, 4096, 16384)),
+        ("person_detect", (96, 96, 1), (64, 256, 1024, 4096, 8192, 16384)),
+    ]
     rows = []
-    for batch in (64, 256, 1024, 4096, 8192, 16384):
-        @jax.jit
-        def chain(params, xq):
-            yq = model._forward(params, xq)
-            bump = yq.reshape(yq.shape[0], -1)[:, :1]
-            bump = bump.reshape(bump.shape + (1,) * (xq.ndim - bump.ndim))
-            return (xq + bump).astype(xq.dtype), yq
+    for name, shape, batches in cases:
+        model = compile_tflite(os.path.join(ROOT, "models", f"{name}.tflite"), name=name)
+        for batch in batches:
+            @jax.jit
+            def chain(params, xq):
+                yq = model._forward(params, xq)
+                bump = yq.reshape(yq.shape[0], -1)[:, :1]
+                bump = bump.reshape(bump.shape + (1,) * (xq.ndim - bump.ndim))
+                return (xq + bump).astype(xq.dtype), yq
 
-        xq = jax.device_put(
-            jax.random.randint(jax.random.PRNGKey(0), (batch, 96, 96, 1), -128, 128, dtype=jnp.int8)
-        )
-        x, y = chain(model.params, xq)
-        _ = int(y.reshape(-1)[0])
-        # enough serialized iterations to amortize dispatch + settle clocks
-        iters = int(min(200, max(20, 2_000_000 // batch)))
-        t0 = time.time()
-        for _ in range(iters):
-            x, y = chain(model.params, x)
-        _ = int(y.reshape(-1)[0])
-        dt = (time.time() - t0) / iters
-        rows.append((batch, dt * 1e6, batch / dt))
-        print(f"batch {batch:>6}: {dt*1e3:8.3f} ms  {batch/dt:12,.0f} inf/s", file=sys.stderr)
+            xq = jax.device_put(
+                jax.random.randint(jax.random.PRNGKey(0), (batch, *shape), -128, 128, dtype=jnp.int8)
+            )
+            x, y = chain(model.params, xq)
+            _ = int(y.reshape(-1)[0])
+            # enough serialized iterations to amortize dispatch + settle clocks
+            iters = int(min(200, max(20, 2_000_000 // batch)))
+            t0 = time.time()
+            for _ in range(iters):
+                x, y = chain(model.params, x)
+            _ = int(y.reshape(-1)[0])
+            dt = (time.time() - t0) / iters
+            rows.append((name, batch, dt * 1e6, batch / dt))
+            print(f"{name:<14} batch {batch:>7}: {dt*1e3:8.3f} ms  {batch/dt:14,.0f} inf/s", file=sys.stderr)
 
     with open(os.path.join(OUT, "latency.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["batch", "latency_us", "inferences_per_s"])
+        w.writerow(["model", "batch", "latency_us", "inferences_per_s"])
         for r in rows:
-            w.writerow([r[0], f"{r[1]:.1f}", f"{r[2]:.0f}"])
+            w.writerow([r[0], r[1], f"{r[2]:.1f}", f"{r[3]:.0f}"])
 
 
 def parity_report():
