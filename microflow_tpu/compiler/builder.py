@@ -273,6 +273,19 @@ class CompiledModel:
         self.graph = graph
         self.backend = backend or default_backend()
         self._fused_forward = None
+        self._packed = None
+        if self.backend == "packed":
+            import os
+
+            from ..kernels.packed import build_packed_kernel
+
+            tb = int(os.environ.get("MFT_PACKED_TB", "8"))
+            ml = os.environ.get("MFT_PACKED_LAYERS")
+            res = build_packed_kernel(graph, tb=tb, max_layers=int(ml) if ml else None)
+            if res is None:
+                raise ValueError("graph is not packable; use backend='xla'")
+            self._packed = res
+            self._packed_tb = tb
         if self.backend in ("fused", "hybrid"):
             from ..kernels.megakernel import (
                 build_fused_forward,
@@ -293,9 +306,37 @@ class CompiledModel:
     def _forward(self, params, xq):
         if self._fused_forward is not None:
             return self._fused_forward(params, xq)
+        if self._packed is not None:
+            return self._packed_forward(params, xq)
         for layer in self.graph.layers:
             xq = apply_layer(layer, params, xq, self.backend)
         return xq
+
+    def _packed_forward(self, params, xq):
+        """Packed-pipeline kernel on the dw/pw prefix, XLA ops on the
+        tail.  Weights live inside the kernel's constant operands, so
+        ``params`` is only consulted for the tail layers.  The guard-row
+        prep (zp rows bracketing each sample) and the final strip are
+        cheap dense XLA copies."""
+        packed_fn, n_layers, meta = self._packed
+        b = xq.shape[0]
+        tb = self._packed_tb
+        pad = (-b) % tb
+        in_zp = self.graph.layers[0].in_q.zp0
+        x3 = xq.reshape(b, meta["in_rows"], meta["in_cols"])
+        if pad:
+            x3 = jnp.concatenate([x3, jnp.zeros((pad, *x3.shape[1:]), x3.dtype)], axis=0)
+        bp = b + pad
+        g = jnp.full((bp, 1, meta["in_cols"]), np.int8(in_zp), x3.dtype)
+        x2 = jnp.concatenate([g, x3, g], axis=1).reshape(bp * (meta["in_rows"] + 2),
+                                                        meta["in_cols"])
+        y = packed_fn(x2)
+        hp = meta["h_out"] + 2
+        y = y.reshape(bp, hp, meta["lanes_out"])[:b, 1 : 1 + meta["h_out"], :]
+        x = y.reshape(b, meta["h_out"], meta["w_out"], meta["c_out"])
+        for layer in self.graph.layers[n_layers:]:
+            x = apply_layer(layer, params, x, "xla")
+        return x
 
     def _predict_from_quantized(self, params, xq):
         yq = self._forward(params, xq)

@@ -1,0 +1,511 @@
+"""Whole-model "packed pipeline" Pallas kernel (round-2 perf frontier).
+
+Runs a MobileNet-class dw/pw conv chain (reference hot loops
+``src/ops/depthwise_conv_2d.rs:100-109`` and ``conv_2d.rs:92-99``) in a
+single fused kernel with a **WC-packed, guard-row layout**: activations
+live as 2D int8 ``[TB*(H+2), W*C]`` -- lanes = W*C is a multiple of 128
+at every layer of person_detect, so HBM/VMEM traffic is fully dense
+(the XLA NHWC path pays up-to-16x tile padding on the C<64 prefix, see
+docs/PERFORMANCE.md), and each sample's H rows are bracketed by two
+zero-point *guard rows* maintained by induction through the pipeline.
+
+The design is shaped by measured Mosaic costs (scripts/probe_packed.py
+and the round-2 A/B experiments): MXU int8 dots run at ~149 T-slots/s
+and sublane/lane *rolls* cost ~1 cycle/vreg, but *data movement*
+(concats, misaligned slices, 3D<->2D repacks of int8 with H % 32 != 0)
+costs 10-45 cycles/vreg and dominated the v1 kernel.  v2 therefore has
+a zero-copy inner loop:
+
+* every conv is an int8 MXU matmul over 128-aligned column windows of
+  the SAME 2D operand -- no operand slicing in the sublane dim, ever;
+* dw 3x3's kernel rows dh are realized on the *output* side:
+  ``acc = out1 + roll(out0, +1) + roll(out2, -1)`` over the full padded
+  row grid.  The roll wraps sample k's first data row onto a guard row
+  (= the zero-point row the SAME-padding algebra wants) and pollutes
+  only guard rows, which the requant rewrites to the output zero point
+  via a masked select (guard-row induction);
+* W-edge taps never read a halo: edge output chunks get clipped
+  matrices and their constant out-of-bounds contribution
+  (``zp * w``) folds into the per-lane i32 d-plane;
+* stride-2 folds H-decimation into a single int8 post-requant reshape
+  and W-decimation into the *following* pw matrix (even w-groups);
+* the stem (Cin=1, depth-multiplier) folds taps + W-decimation into
+  per-dh row matrices over the raw 96-lane input;
+* TB is a multiple of 16 so every ``[TB*(H+2), L]`` shape keeps int8
+  (32, 128) tiling aligned (H+2 is even).
+
+The VPU does only the requant epilogues: the engine's exact recipe
+``saturate(round_away(bias0 + c1 * f32(acc)))`` with the fused
+activation folded into f32 clip bounds (int8 max does not legalize;
+f32->int8 casts saturate in hardware, probed).
+
+Bit-exactness: identical integer algebra to ``ops/conv_2d.py`` /
+``ops/depthwise_conv_2d.py`` (raw int8 dot + ``-in_zp*wsum`` constant
+fold in i32; w_zp == 0 checked by the planner); asserted bit-identical
+to the XLA backend by ``tests/test_packed.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..compiler.ir import Conv2DLayer, DepthwiseConv2DLayer, Graph
+from ..core.activation import FusedActivation, quantize_scalar
+
+LANE = 128
+MAX_LANES = 2048
+
+
+# --------------------------------------------------------------------------
+# planning
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _PackedOp:
+    kind: str  # "stem" | "dw" | "pw"
+    h_in: int  # data rows in (guards excluded)
+    h_out: int
+    lanes_in: int
+    lanes_out: int
+    stride: int
+    pad_value: int  # input zero point (= guard-row value of the input)
+    out_zp: int  # output zero point (guard rows of the output)
+    # dw: wmats[dh][chunk_class] with chunk_class in {left, interior,
+    # right}; pw/stem: wmats[0] / wmats[dh]
+    wmats: list = field(default_factory=list)
+    window: int = 0  # dw interior window width (lanes)
+    out_cols: int = 0  # pw: output lanes per dot
+    in_span: int = 0  # pw: input lanes per dot
+    d_plane: np.ndarray | None = None  # i32 [1, lanes_out]
+    bias_plane: np.ndarray | None = None  # f32 [1, lanes_out]
+    c1_plane: np.ndarray | None = None  # f32 [1, lanes_out]
+    clip_lo: float = -128.0
+    clip_hi: float = 127.0
+
+
+def _clip_bounds(activation, out_scale, out_zp):
+    lo, hi = -128.0, 127.0
+    if activation is FusedActivation.RELU:
+        lo = float(out_zp)
+    elif activation is FusedActivation.RELU6:
+        lo = float(out_zp)
+        hi = min(127.0, float(quantize_scalar(6.0, out_scale, out_zp)))
+    return lo, hi
+
+
+def _per_channel(vals, n):
+    vals = np.atleast_1d(np.asarray(vals))
+    return np.array([vals[i] if i < len(vals) else vals[0] for i in range(n)])
+
+
+def _requant_planes(op, c0, c1, base_d, out_q, activation, w, c_out):
+    n = w * c_out
+    cidx = np.arange(n) % c_out
+    op.d_plane = base_d.astype(np.int64).reshape(1, n).astype(np.int32)
+    bias0 = np.float32(out_q.zp0) + c0.astype(np.float32)
+    op.bias_plane = bias0[cidx].astype(np.float32).reshape(1, n)
+    op.c1_plane = _per_channel(c1, c_out).astype(np.float32)[cidx].reshape(1, n)
+    op.clip_lo, op.clip_hi = _clip_bounds(activation, float(out_q.scale0), out_q.zp0)
+    op.out_zp = out_q.zp0
+
+
+def _dw_matrices_and_d(k, c, w, in_zp, window):
+    """Per-dh, per-chunk-class dw matrices + the W-edge constant plane.
+
+    Output lane 128*j + l is (w', ch) with w' = (128*j + l)//c; input
+    lane (w' + dw - 1)*c + ch.  Interior chunks use a [window, 128]
+    matrix whose window starts at absolute lane 128*(j-1); the first
+    and last chunks use clipped matrices over the in-range lanes, with
+    the out-of-range taps' constant zp contribution returned as a
+    per-lane i32 plane (added into d_plane).
+    """
+    nc = (w * c) // LANE
+    kh_n, kw_n = k.shape[0], k.shape[1]
+    mats = []  # [dh][class] with class 0=left, 1=interior, 2=right
+    edge_d = np.zeros(w * c, np.int64)
+    for j in range(nc):
+        base = j * LANE
+        for l in range(LANE):
+            wp, ch = (base + l) // c, (base + l) % c
+            for dh in range(kh_n):
+                for dw in range(kw_n):
+                    wi = wp + dw - 1
+                    if not (0 <= wi < w):
+                        # vertical OOB is handled by guard rows; this is
+                        # the horizontal OOB constant (same for all dh
+                        # data rows; guard rows get overwritten anyway)
+                        edge_d[base + l] += int(k[dh, dw, ch]) * in_zp
+    for dh in range(kh_n):
+        row = []
+        for cls, (lo, hi_off) in enumerate(((0, 2 * LANE), (-LANE, 2 * LANE), (-2 * LANE, 0))):
+            # cls 0: first chunk window = abs lanes [0, 2*128)
+            # cls 1: interior chunk j window = abs [128(j-1), 128(j+2))
+            # cls 2: last chunk window = abs [128(nc-2), 128*nc)
+            width = (2 * LANE) if cls != 1 else (3 * LANE)
+            m = np.zeros((width, LANE), np.int8)
+            for l in range(LANE):
+                # chunk-relative construction: pick representative chunk
+                j = 0 if cls == 0 else (1 if cls == 1 else nc - 1)
+                if nc == 1:
+                    continue
+                wp, ch = (j * LANE + l) // c, (j * LANE + l) % c
+                for dw in range(kw_n):
+                    wi = wp + dw - 1
+                    if not (0 <= wi < w):
+                        continue
+                    abs_lane = wi * c + ch
+                    win_start = 0 if cls == 0 else (j - 1) * LANE if cls == 1 else (nc - 2) * LANE
+                    rel = abs_lane - win_start
+                    if 0 <= rel < width:
+                        m[rel, l] = k[dh, dw, ch]
+            row.append(m)
+        mats.append(row)
+    return mats, edge_d
+
+
+def _stem_matrices(k, c_out, w_in, w_out, stride, window):
+    """Stem per-dh [window, w_out*c_out] matrices over the raw input
+    row (no lane padding); horizontal OOB folds into the edge plane."""
+    kw_n = k.shape[1]
+    left = (kw_n - 1) // 2
+    mats = []
+    edge_d = np.zeros(w_out * c_out, np.int64)
+    for dh in range(k.shape[0]):
+        m = np.zeros((window, w_out * c_out), np.int8)
+        for wp in range(w_out):
+            for ch in range(c_out):
+                for dw in range(kw_n):
+                    wi = stride * wp + dw - left
+                    if 0 <= wi < w_in:
+                        m[wi, wp * c_out + ch] = k[dh, dw, ch]
+        mats.append(m)
+    return mats
+
+
+def _stem_edge_d(k, c_out, w_in, w_out, stride, in_zp):
+    kw_n = k.shape[1]
+    left = (kw_n - 1) // 2
+    edge = np.zeros(w_out * c_out, np.int64)
+    for wp in range(w_out):
+        for ch in range(c_out):
+            for dh in range(k.shape[0]):
+                for dw in range(kw_n):
+                    wi = stride * wp + dw - left
+                    if not (0 <= wi < w_in):
+                        edge[wp * c_out + ch] += int(k[dh, dw, ch]) * in_zp
+    return edge
+
+
+def _pw_matrix(filters, c_in, c_out, wpc, decim, in_span):
+    m = np.zeros((in_span, wpc * c_out), np.int8)
+    for wg in range(wpc):
+        base = wg * decim * c_in
+        for co in range(c_out):
+            for ci in range(c_in):
+                m[base + ci, wg * c_out + co] = filters[co, 0, 0, ci]
+    return m
+
+
+def plan_packed(graph: Graph, max_layers: int | None = None):
+    """Packed plan for the maximal dw/pw prefix; None if unpackable."""
+    layers = graph.layers
+    if not layers or not isinstance(layers[0], DepthwiseConv2DLayer):
+        return None
+    g0 = layers[0].geom
+    if g0.k_rows != 3 or g0.k_cols != 3 or np.dtype(graph.input_dtype) != np.int8:
+        return None
+
+    ops = []
+    h, w, c = g0.in_rows, g0.in_cols, 1
+    decim = 1
+    n = n_safe = 0
+    for i, layer in enumerate(layers):
+        if max_layers is not None and i >= max_layers:
+            break
+        if isinstance(layer, DepthwiseConv2DLayer):
+            geom = layer.geom
+            k = layer.weights
+            c_out = k.shape[2]
+            if np.any(_per_channel(layer.w_q.zero_point, c_out) != 0):
+                break
+            in_zp = layer.in_q.zp0
+            wsum = k.astype(np.int64).sum(axis=(0, 1))
+            if i == 0:
+                w_out = geom.out_cols
+                if (w_out * c_out) % LANE or w_out * c_out > MAX_LANES:
+                    return None
+                op = _PackedOp(
+                    kind="stem", h_in=h, h_out=geom.out_rows,
+                    lanes_in=w, lanes_out=w_out * c_out,
+                    stride=geom.stride_rows, pad_value=in_zp, out_zp=0,
+                )
+                op.window = w
+                op.wmats = _stem_matrices(k, c_out, w, w_out, geom.stride_cols, w)
+                cidx = np.arange(w_out * c_out) % c_out
+                base_d = (-np.int64(in_zp) * wsum[cidx]
+                          + _stem_edge_d(k, c_out, w, w_out, geom.stride_cols, in_zp))
+                _requant_planes(op, layer.c0, layer.c1, base_d, layer.out_q,
+                                layer.activation, w_out, c_out)
+                h, w, c = geom.out_rows, w_out, c_out
+                decim = 1
+            else:
+                if (geom.k_rows != 3 or geom.k_cols != 3 or c_out != c
+                        or decim != 1 or (w * c) % LANE or w * c > MAX_LANES
+                        or c > LANE or (w * c) // LANE < 2):
+                    break
+                op = _PackedOp(
+                    kind="dw", h_in=h, h_out=geom.out_rows,
+                    lanes_in=w * c, lanes_out=w * c, stride=geom.stride_rows,
+                    pad_value=in_zp, out_zp=0,
+                )
+                op.window = 3 * LANE
+                mats, edge_d = _dw_matrices_and_d(k, c, w, in_zp, op.window)
+                op.wmats = mats
+                cidx = np.arange(w * c) % c_out
+                base_d = -np.int64(in_zp) * wsum[cidx] + edge_d
+                _requant_planes(op, layer.c0, layer.c1, base_d, layer.out_q,
+                                layer.activation, w, c_out)
+                h = geom.out_rows
+                decim = geom.stride_cols
+        elif isinstance(layer, Conv2DLayer):
+            geom = layer.geom
+            f = layer.filters
+            if geom.k_rows != 1 or geom.k_cols != 1 or geom.stride_rows != 1:
+                break
+            c_out, c_in = f.shape[0], f.shape[3]
+            if c_in != c or c_out > LANE or LANE % c_out:
+                break
+            if np.any(_per_channel(layer.w_q.zero_point, c_out) != 0):
+                break
+            w_out = w // decim
+            lanes_out = w_out * c_out
+            if lanes_out % LANE or lanes_out > MAX_LANES or (w * c) % LANE:
+                break
+            t = c_out // math.gcd(c_out, decim * c_in)
+            out_cols = min(t * LANE, lanes_out)
+            if lanes_out % out_cols:
+                break
+            wpc = out_cols // c_out
+            in_span = wpc * decim * c_in
+            if in_span % LANE:
+                break
+            op = _PackedOp(
+                kind="pw", h_in=h, h_out=h, lanes_in=w * c, lanes_out=lanes_out,
+                stride=1, pad_value=layer.in_q.zp0, out_zp=0,
+            )
+            op.out_cols, op.in_span = out_cols, in_span
+            op.wmats = [_pw_matrix(f, c_in, c_out, wpc, decim, in_span)]
+            wsum = f.astype(np.int64).sum(axis=(1, 2, 3))
+            cidx = np.arange(lanes_out) % c_out
+            _requant_planes(op, layer.c0, layer.c1,
+                            -np.int64(layer.in_q.zp0) * wsum[cidx], layer.out_q,
+                            layer.activation, w_out, c_out)
+            w, c = w_out, c_out
+            decim = 1
+        else:
+            break
+        ops.append(op)
+        n = i + 1
+        if decim == 1:
+            n_safe = n
+
+    ops = ops[: len(ops) - (n - n_safe)]
+    n = n_safe
+    if n < 4:
+        return None
+    last = ops[-1]
+    meta = dict(
+        h_out=last.h_out, lanes_out=last.lanes_out,
+        w_out=last.lanes_out // c, c_out=c,
+        in_rows=g0.in_rows, in_cols=g0.in_cols,
+    )
+    return ops, n, meta
+
+
+# --------------------------------------------------------------------------
+# kernel emission (2D guard-row form)
+# --------------------------------------------------------------------------
+
+
+def _requant_chunk(acc, op: _PackedOp, planes, lo, width):
+    """Requant one i32 chunk [M, width] (out-lane slice [lo, lo+width))
+    to int8, forcing guard rows to the output zero point."""
+    q = acc + planes["d"][0:1, lo : lo + width]
+    y = (planes["b"][0:1, lo : lo + width]
+         + planes["c"][0:1, lo : lo + width] * q.astype(jnp.float32))
+    y = lax.round(y, lax.RoundingMethod.AWAY_FROM_ZERO)
+    y = jnp.clip(y, op.clip_lo, op.clip_hi)
+    gmask = planes["g"][:]
+    y = y * (1.0 - gmask) + np.float32(op.out_zp) * gmask
+    return y.astype(jnp.int8)
+
+
+def _decimate_rows(y8, op: _PackedOp, tb):
+    """Post-requant stride-2 H decimation: input row grid (h_in + 2
+    rows/sample) -> output guard grid (h_out + 2)."""
+    s, hp_in, h_out = op.stride, op.h_in + 2, op.h_out
+    y3 = y8.reshape(tb, hp_in, op.lanes_out)
+    data = y3[:, 1 : 1 + s * h_out, :].reshape(tb, h_out, s, op.lanes_out)[:, :, 0, :]
+    g = jnp.full((tb, 1, op.lanes_out), np.int8(op.out_zp), jnp.int8)
+    return jnp.concatenate([g, data, g], axis=1).reshape(tb * (h_out + 2), op.lanes_out)
+
+
+def _emit_layer(x2, op: _PackedOp, wrefs, planes, tb):
+    """x2: int8 [TB*(h_in+2), lanes_in] with guard rows.
+    Returns int8 [TB*(h_out+2), lanes_out] with guard rows.
+
+    All dh combining, rolling, and requant run per 128/out_cols-lane
+    chunk; only the final int8 chunks are concatenated (i32 lane
+    concats measured 10x the cost of the int8 one)."""
+    m_rows = x2.shape[0]
+
+    if op.kind == "pw":
+        nd = op.lanes_out // op.out_cols
+        wm = wrefs[0][:]
+        outs = []
+        for j in range(nd):
+            win = x2[:, j * op.in_span : (j + 1) * op.in_span]
+            acc = lax.dot_general(win, wm, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+            outs.append(_requant_chunk(acc, op, planes, j * op.out_cols, op.out_cols))
+        y8 = jnp.concatenate(outs, axis=1) if nd > 1 else outs[0]
+        return y8
+
+    if op.kind == "stem":
+        # chunk over 128-lane output groups so only [M, 128] i32 accs are
+        # live (full-width [M, lanes_out] accs blow the 16 MB scoped-vmem
+        # stack at TB >= 32)
+        nc = op.lanes_out // LANE
+        outs = []
+        for j in range(nc):
+            a = [lax.dot_general(x2, wrefs[dh][:, j * LANE : (j + 1) * LANE],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+                 for dh in range(3)]
+            acc = (a[1]
+                   + pltpu.roll(a[0], shift=1, axis=0)
+                   + pltpu.roll(a[2], shift=m_rows - 1, axis=0))
+            outs.append(_requant_chunk(acc, op, planes, j * LANE, LANE))
+        y8 = jnp.concatenate(outs, axis=1) if nc > 1 else outs[0]
+        return _decimate_rows(y8, op, tb)
+
+    # dw: per chunk: 3 dh dots, roll-combine, requant -- no i32 concat
+    nc = op.lanes_in // LANE
+    outs = []
+    for j in range(nc):
+        if j == 0:
+            win = x2[:, : 2 * LANE]
+            cls = 0
+        elif j == nc - 1:
+            win = x2[:, (nc - 2) * LANE :]
+            cls = 2
+        else:
+            win = x2[:, (j - 1) * LANE : (j + 2) * LANE]
+            cls = 1
+        a = [lax.dot_general(win, wrefs[dh * 3 + cls][:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+             for dh in range(3)]
+        acc = (a[1]
+               + pltpu.roll(a[0], shift=1, axis=0)
+               + pltpu.roll(a[2], shift=m_rows - 1, axis=0))
+        outs.append(_requant_chunk(acc, op, planes, j * LANE, LANE))
+    y8 = jnp.concatenate(outs, axis=1) if nc > 1 else outs[0]
+    if op.stride > 1:
+        y8 = _decimate_rows(y8, op, tb)
+    return y8
+
+
+def build_packed_kernel(graph: Graph, tb: int = 16, interpret: bool = False,
+                        max_layers: int | None = None):
+    """Compile the packed prefix into a pallas_call.
+
+    Returns (packed_fn, n_layers, meta): packed_fn(xq[B, H+2, W] int8,
+    guard rows included) -> int8 [B, h_out, w_out*c_out] (guards
+    stripped), or None if not packable.
+    """
+    plan = plan_packed(graph, max_layers=max_layers)
+    if plan is None:
+        return None
+    ops, n_layers, meta = plan
+    if tb % 2:
+        raise ValueError("tb must be even (guard-row tiling)")
+
+    consts = []
+
+    def add_const(arr):
+        consts.append(jnp.asarray(arr))
+        return len(consts) - 1
+
+    for op in ops:
+        op._w_idx = []
+        if op.kind == "dw":
+            for dh in range(3):
+                for cls in range(3):
+                    op._w_idx.append(add_const(op.wmats[dh][cls]))
+        else:
+            for m in op.wmats:
+                op._w_idx.append(add_const(m))
+        # requant constants, broadcast to full row grids is done by
+        # Mosaic's [1, L] broadcasting; guard masks are [rows, 1]
+        hp_acc = op.h_in + 2  # acc row grid before decimation
+        gm = np.zeros((tb * hp_acc, 1), np.float32)
+        gm[::hp_acc] = 1.0
+        gm[hp_acc - 1 :: hp_acc] = 1.0
+        op._d_idx = add_const(op.d_plane)
+        op._b_idx = add_const(op.bias_plane)
+        op._c_idx = add_const(op.c1_plane)
+        op._g_idx = add_const(gm)
+
+    h_in, w_in = meta["in_rows"], meta["in_cols"]
+    hp_first = h_in + 2
+    h_out, out_lanes = meta["h_out"], meta["lanes_out"]
+    hp_last = h_out + 2
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        crefs = refs[:-1]
+        x = x_ref[:]
+        for op in ops:
+            wrefs = [crefs[i] for i in op._w_idx]
+            planes = {
+                "d": crefs[op._d_idx], "b": crefs[op._b_idx],
+                "c": crefs[op._c_idx], "g": crefs[op._g_idx],
+            }
+            x = _emit_layer(x, op, wrefs, planes, tb)
+        out_ref[:] = x
+
+    def packed_fn(xq):
+        """xq: int8 [B*(h_in+2), w_in] 2D with per-sample guard rows."""
+        rows = xq.shape[0]
+        b = rows // hp_first
+        if b % tb:
+            raise ValueError(f"batch {b} not divisible by packed tile {tb}")
+        in_specs = [pl.BlockSpec((tb * hp_first, w_in), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        for carr in consts:
+            zeros = (0,) * carr.ndim
+            in_specs.append(pl.BlockSpec(carr.shape, lambda i, z=zeros: z,
+                                         memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            kernel,
+            grid=(b // tb,),
+            out_shape=jax.ShapeDtypeStruct((b * hp_last, out_lanes), jnp.int8),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tb * hp_last, out_lanes), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            # the i32 accumulator working set scales with TB; the default
+            # 16 MB scoped-vmem stack caps TB at ~16 (v5e VMEM is 128 MB)
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(xq, *consts)
+
+    return packed_fn, n_layers, meta
