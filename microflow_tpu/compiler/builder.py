@@ -274,6 +274,7 @@ class CompiledModel:
         self.backend = backend or default_backend()
         self._fused_forward = None
         self._packed = None
+        self._flat = None
         if self.backend == "packed":
             import os
 
@@ -286,6 +287,21 @@ class CompiledModel:
                 raise ValueError("graph is not packable; use backend='xla'")
             self._packed = res
             self._packed_tb = tb
+        if self.backend == "flat":
+            import os
+
+            from ..kernels.flatpack import build_flat_kernel
+
+            tb = int(os.environ.get("MFT_FLAT_TB", "256"))
+            ml = os.environ.get("MFT_FLAT_LAYERS")
+            mw = int(os.environ.get("MFT_FLAT_WINDOW", "2048"))
+            res = build_flat_kernel(graph, tb=tb,
+                                    max_layers=int(ml) if ml else None,
+                                    max_window=mw)
+            if res is None:
+                raise ValueError("graph is not flat-packable; use backend='xla'")
+            self._flat = res
+            self._flat_tb = tb
         if self.backend in ("fused", "hybrid"):
             from ..kernels.megakernel import (
                 build_fused_forward,
@@ -308,9 +324,29 @@ class CompiledModel:
             return self._fused_forward(params, xq)
         if self._packed is not None:
             return self._packed_forward(params, xq)
+        if self._flat is not None:
+            return self._flat_forward(params, xq)
         for layer in self.graph.layers:
             xq = apply_layer(layer, params, xq, self.backend)
         return xq
+
+    def _flat_forward(self, params, xq):
+        """Flat-sample kernel (kernels/flatpack.py) on the conv prefix,
+        XLA ops on the tail.  Weights live in the kernel's constant
+        operands; ``params`` feeds only the tail layers."""
+        flat_fn, n_layers, meta = self._flat
+        b = xq.shape[0]
+        tb = self._flat_tb
+        pad = (-b) % tb
+        x2 = xq.reshape(b, meta["in_lanes"])
+        if pad:
+            x2 = jnp.concatenate(
+                [x2, jnp.zeros((pad, meta["in_lanes"]), x2.dtype)], axis=0)
+        y = flat_fn(x2)[:b]
+        x = y.reshape(b, *meta["out_shape"])
+        for layer in self.graph.layers[n_layers:]:
+            x = apply_layer(layer, params, x, "xla")
+        return x
 
     def _packed_forward(self, params, xq):
         """Packed-pipeline kernel on the dw/pw prefix, XLA ops on the

@@ -1,0 +1,90 @@
+"""Flat-sample kernel (kernels/flatpack.py) bit-parity vs the XLA path.
+
+The flat backend runs the conv prefix of person_detect as one Pallas
+kernel in a [TB, H*W*C] batch-on-sublanes layout (reference hot loops
+``src/ops/depthwise_conv_2d.rs:100-109``, ``conv_2d.rs:92-99``); its
+contract is bit-identical int8 activations at every layer boundary, so
+full-model outputs must match XLA exactly on ANY input.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from microflow_tpu import compile_tflite
+from microflow_tpu.frontend.parser import parse
+from microflow_tpu.kernels.flatpack import plan_flat
+
+MODELS = os.path.join(os.path.dirname(__file__), "..", "models")
+PERSON = os.path.join(MODELS, "person_detect.tflite")
+
+
+def test_plan_covers_conv_prefix():
+    graph = parse(PERSON)
+    plan = plan_flat(graph)
+    assert plan is not None
+    ops, n_layers, meta = plan
+    assert n_layers >= 7  # at least the C<64 hot prefix
+    for op in ops:
+        assert op.lanes_out % 128 == 0
+        # every output chunk is covered exactly once by the groups
+        covered = sorted((out_lo, out_lo + op.mats[parts[0][1]].shape[1])
+                         for out_lo, parts in op.groups)
+        assert covered[0][0] == 0 and covered[-1][1] == op.lanes_out
+        for (a, b), (c, d) in zip(covered, covered[1:]):
+            assert b == c
+
+
+def test_plan_rejects_non_conv_start():
+    graph = parse(os.path.join(MODELS, "sine.tflite"))
+    assert plan_flat(graph) is None
+
+
+def test_plan_oracle_first_layers():
+    """Group matrices reproduce the stem + dw taps: apply the planned
+    mats to a random flat sample on the CPU and compare the i32
+    accumulator against the reference patch extraction oracle."""
+    import jax.numpy as jnp
+
+    from microflow_tpu.ops.depthwise_conv_2d import (
+        depthwise_conv_2d_accumulate_patches,
+    )
+
+    graph = parse(PERSON)
+    ops, _, meta = plan_flat(graph, max_layers=2)  # plan needs >= 2 layers
+    op = ops[0]
+    layer = graph.layers[0]
+    rng = np.random.default_rng(3)
+    x = rng.integers(-128, 128, (2, *graph.input_shape), dtype=np.int8)
+    want = np.asarray(depthwise_conv_2d_accumulate_patches(
+        jnp.asarray(x), jnp.asarray(layer.weights), layer.geom,
+        layer.in_q.zp0, np.zeros(layer.weights.shape[2], np.int32)))
+    x2 = x.reshape(2, -1).astype(np.int32)
+    got = np.zeros((2, op.lanes_out), np.int32)
+    for out_lo, parts in op.groups:
+        for lo, cid in parts:
+            m = op.mats[cid].astype(np.int32)
+            got[:, out_lo : out_lo + m.shape[1]] += x2[:, lo : lo + m.shape[0]] @ m
+    got += op.d_plane.astype(np.int32)
+    assert np.array_equal(got.reshape(want.shape), want)
+
+
+@pytest.mark.slow
+def test_flat_parity_person_detect():
+    rng = np.random.default_rng(13)
+    ref = compile_tflite(PERSON, backend="xla")
+    os.environ["MFT_FLAT_TB"] = "32"
+    try:
+        alt = compile_tflite(PERSON, backend="flat")
+    finally:
+        del os.environ["MFT_FLAT_TB"]
+    # batch 3 exercises the tb-padding path (3 % tb != 0)
+    x = rng.uniform(0.0, 1.0, (3, 96, 96, 1)).astype(np.float32)
+    a = np.asarray(ref.predict(x))
+    b = np.asarray(alt.predict(x))
+    assert np.array_equal(a, b), f"flat: max|d|={np.abs(a - b).max()}"
+    xq = rng.integers(-128, 128, (5, 96, 96, 1), dtype=np.int8)
+    aq = np.asarray(ref.predict_inner(xq))
+    bq = np.asarray(alt.predict_inner(xq))
+    assert np.array_equal(aq, bq)
