@@ -99,14 +99,14 @@ def main(argv=None):
     p.add_argument("--input", help=".npy file (reshaped to [batch, *input_shape])")
     p.add_argument("--fill", type=float, default=0.5, help="constant input value")
     p.add_argument("--batch", type=int, default=1)
-    p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "fused", "hybrid"])
+    p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "fused", "hybrid", "packed", "flat"])
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.add_argument("model", nargs="?", default="models/person_detect.tflite")
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "fused", "hybrid"])
+    p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "fused", "hybrid", "packed", "flat"])
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("synth", help="write a synthetic test model")

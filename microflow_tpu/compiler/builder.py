@@ -295,9 +295,10 @@ class CompiledModel:
             tb = int(os.environ.get("MFT_FLAT_TB", "256"))
             ml = os.environ.get("MFT_FLAT_LAYERS")
             mw = int(os.environ.get("MFT_FLAT_WINDOW", "2048"))
+            rq = os.environ.get("MFT_FLAT_REQUANT", "exact")
             res = build_flat_kernel(graph, tb=tb,
                                     max_layers=int(ml) if ml else None,
-                                    max_window=mw)
+                                    max_window=mw, requant=rq)
             if res is None:
                 raise ValueError("graph is not flat-packable; use backend='xla'")
             self._flat = res

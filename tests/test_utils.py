@@ -65,3 +65,19 @@ def test_person_detect_deep_training_smoke():
             if w0 is not None:
                 moved += int((np.asarray(m.params[key]["weights"]) != w0).any())
     assert moved >= 1
+
+
+def test_memory_artifact_checked_in():
+    """analysis/data/memory.csv (scripts/memory.py) -- the TPU analog of
+    the reference's analysis/memory plots: params (flash) + activation
+    bytes + compiled peak-HBM per bundled model."""
+    import csv
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "analysis", "data", "memory.csv")
+    assert os.path.exists(path), "run scripts/memory.py"
+    rows = list(csv.DictReader(open(path)))
+    assert {r["model"] for r in rows} == {"sine", "speech", "person_detect"}
+    for r in rows:
+        assert int(r["params_bytes"]) > 0
+        assert int(r["peak_hbm_bytes"]) >= int(r["args_hbm_bytes"])
