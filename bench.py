@@ -50,8 +50,10 @@ def main():
     ap.add_argument("--model", default="models/person_detect.tflite")
     # batch 6144 is the measured throughput peak (analysis/data/latency.csv
     # + fine sweep); sustained serialized iterations settle device clocks
+    # (80 iters reads ~3% low -- clocks keep ramping past it; 200 measured
+    # 823k vs 746k at 40 on the same chip)
     ap.add_argument("--batch", type=int, default=6144)
-    ap.add_argument("--iters", type=int, default=80)
+    ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--backend", default=None, help="pallas|xla (default: auto)")
     args = ap.parse_args()
 

@@ -255,15 +255,20 @@ def default_backend() -> str:
     * ``pallas`` -- per-op fused kernels (qgemm/qdwconv), bit-identical;
       kept for op-level use and comparison.
 
-    Currently always ``xla``: on v5e the measured order is xla (665k
-    person_detect inf/s at batch 8k) > pallas > fused (41k).  The fused
-    megakernel is HBM-optimal on paper but Mosaic's NHWC layouts waste
-    15/16 VPU lanes on the small-channel early layers, and 73 KB/sample
-    of activations at the widest layer caps the VMEM-resident batch tile
-    well below the 128-lane sweet spot.  Revisit with a channel-major
-    [P, C, TB-lanes] deep-half kernel.
+    * ``flat`` -- the flat-sample whole-network kernel
+      (``kernels/flatpack.py``): statistical parity with xla on v5e
+      (708-725k vs 708-744k person_detect inf/s, round 2); bit-exact.
+    * ``packed`` -- the WC-packed guard-row kernel (304k; kept as a
+      parity witness, postmortem in docs/PERFORMANCE.md).
+
+    Default ``xla`` (override with env ``MFT_BACKEND``): measured order
+    on v5e is xla ~= flat > hybrid > pallas > packed > fused; xla stays
+    default because it needs no packability gate and its edge is within
+    run-to-run noise of flat.
     """
-    return "xla"
+    import os
+
+    return os.environ.get("MFT_BACKEND", "xla")
 
 
 class CompiledModel:

@@ -82,8 +82,11 @@ def parity_report():
         ref = compile_tflite(path, backend="xla")
         xq = rng.integers(-128, 128, shape, dtype=np.int8)
         base = np.asarray(ref.predict_inner(xq)).astype(np.int32)
-        for backend in ("pallas", "fused"):
-            alt = compile_tflite(path, backend=backend)
+        for backend in ("pallas", "fused", "flat"):
+            try:
+                alt = compile_tflite(path, backend=backend)
+            except ValueError:
+                continue  # backend's planner rejects this graph (e.g. flat on FC models)
             got = np.asarray(alt.predict_inner(xq)).astype(np.int32)
             delta = int(np.abs(base - got).max())
             rows.append((name, backend, delta))
