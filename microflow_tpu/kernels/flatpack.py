@@ -63,12 +63,10 @@ class _FlatOp:
     lanes_in: int
     lanes_out: int
     out_shape: tuple  # (h, w, c)
-    # per chunk j (pre-grouping): (window_lo, class_id)
-    chunk_lo: list = field(default_factory=list)
-    chunk_cls: list = field(default_factory=list)
     mats: list = field(default_factory=list)
-    # after grouping: per group (window_lo, out_lo, class_id); mats are
-    # [width, 128*g] -- adjacent chunks fused into one wider dot
+    # per group: (out_lo, [(window_lo, class_id), ...]) -- adjacent
+    # chunks fused into one dot, clustered into one window per run of
+    # occupied input chunks; mats[class_id] is [width, 128*g] int8
     groups: list = field(default_factory=list)
     d_plane: np.ndarray | None = None  # i32 [1, lanes_out]
     bias_plane: np.ndarray | None = None  # f32 [1, lanes_out]
