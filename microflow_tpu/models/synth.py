@@ -152,6 +152,69 @@ def full_ops(seed: int = 1) -> bytes:
     return m.finish([x0], [x7])
 
 
+def flat_conv(seed: int = 5) -> bytes:
+    """A conv stack whose every activation is flat-packable (H*W*C a
+    multiple of 128) -- the kernels/flatpack.py planner test model:
+    [B,16,16,2] -> dw3x3(relu) -> conv1x1x8(relu6, zp!=-128 so the f32
+    clip is NOT elided) -> dw3x3 s2 PER-CHANNEL -> conv1x1x4 ->
+    reshape -> fc -> softmax."""
+    rng = np.random.default_rng(seed)
+    m = ModelWriter("microflow_tpu synthetic flat-conv")
+    x0 = m.tensor([1, 16, 16, 2], I8, 0.02, -1, name="input")
+
+    wd, wds = _qweights(rng, (1, 3, 3, 2), 0.4)
+    bd, bds = _qbias(rng, 2, 0.02, wds)
+    t_wd = m.tensor([1, 3, 3, 2], I8, wds, 0, data=wd, name="dw1_w")
+    t_bd = m.tensor([2], I32, bds, 0, data=bd, name="dw1_b")
+    x1 = m.tensor([1, 16, 16, 2], I8, 0.018, -128, name="dw1_out")
+    m.add_op(Op.DEPTHWISE_CONV_2D, [x0, t_wd, t_bd], [x1],
+             m.dwconv_options(Padding.SAME, (1, 1), 1, Act.RELU))
+
+    wc, wcs = _qweights(rng, (8, 1, 1, 2), 0.4)
+    bc, bcs = _qbias(rng, 8, 0.018, wcs)
+    t_wc = m.tensor([8, 1, 1, 2], I8, wcs, 0, data=wc, name="pw1_w")
+    t_bc = m.tensor([8], I32, bcs, 0, data=bc, name="pw1_b")
+    # zp = -100: quantize(6) < 127, so the relu6 clip stays in the kernel
+    x2 = m.tensor([1, 16, 16, 8], I8, 0.03, -100, name="pw1_out")
+    m.add_op(Op.CONV_2D, [x1, t_wc, t_bc], [x2],
+             m.conv_options(Padding.SAME, (1, 1), Act.RELU6))
+
+    w2 = rng.normal(0.0, 0.3, (1, 3, 3, 8)).astype(np.float32)
+    s2 = np.maximum(np.abs(w2).max(axis=(0, 1, 2)) / 127.0, 1e-6).astype(np.float32)
+    q2 = np.clip(np.round(w2 / s2[None, None, None, :]), -127, 127).astype(np.int8)
+    b2 = np.round(rng.normal(0, 0.05, 8) / (0.03 * s2)).astype(np.int32)
+    t_w2 = m.tensor([1, 3, 3, 8], I8, s2, np.zeros(8, np.int64), data=q2,
+                    name="dw2_w", quantized_dimension=3)
+    t_b2 = m.tensor([8], I32, (0.03 * s2).astype(np.float32),
+                    np.zeros(8, np.int64), data=b2, name="dw2_b")
+    x3 = m.tensor([1, 8, 8, 8], I8, 0.04, 3, name="dw2_out")
+    m.add_op(Op.DEPTHWISE_CONV_2D, [x2, t_w2, t_b2], [x3],
+             m.dwconv_options(Padding.SAME, (2, 2), 1, Act.NONE))
+
+    wc2, wc2s = _qweights(rng, (4, 1, 1, 8), 0.4)
+    bc2, bc2s = _qbias(rng, 4, 0.04, wc2s)
+    t_wc2 = m.tensor([4, 1, 1, 8], I8, wc2s, 0, data=wc2, name="pw2_w")
+    t_bc2 = m.tensor([4], I32, bc2s, 0, data=bc2, name="pw2_b")
+    x4 = m.tensor([1, 8, 8, 4], I8, 0.05, 0, name="pw2_out")
+    m.add_op(Op.CONV_2D, [x3, t_wc2, t_bc2], [x4],
+             m.conv_options(Padding.SAME, (1, 1), Act.NONE))
+
+    x5 = m.tensor([1, 256], I8, 0.05, 0, name="flat")
+    m.add_op(Op.RESHAPE, [x4], [x5], m.reshape_options([1, 256]))
+
+    wf, wfs = _qweights(rng, (3, 256), 0.2)
+    bf, bfs = _qbias(rng, 3, 0.05, wfs)
+    t_wf = m.tensor([3, 256], I8, wfs, 0, data=wf, name="fc_w")
+    t_bf = m.tensor([3], I32, bfs, 0, data=bf, name="fc_b")
+    x6 = m.tensor([1, 3], I8, 0.05, 2, name="logits")
+    m.add_op(Op.FULLY_CONNECTED, [x5, t_wf, t_bf], [x6], m.fc_options(Act.NONE))
+
+    x7 = m.tensor([1, 3], I8, 1 / 256.0, -128, name="probs")
+    m.add_op(Op.SOFTMAX, [x6], [x7], m.softmax_options(1.0))
+
+    return m.finish([x0], [x7])
+
+
 def write(path: str, data: bytes) -> str:
     with open(path, "wb") as f:
         f.write(data)

@@ -110,3 +110,31 @@ def test_flat_fixed_requant_within_1lsb():
     # deep stack; the reference's own accuracy analysis tolerates the
     # same vs TFLite.  Gate at <=2 LSB on the final softmax-scale int8.
     assert np.abs(aq - bq).max() <= 2, np.abs(aq - bq).max()
+
+
+def test_flat_interpret_synth_model(tmp_path):
+    """Flat kernel vs XLA on a writer-synthesized conv stack, in Pallas
+    interpret mode (runs on any backend): exercises per-channel dw
+    scales, stride-2, a non-elided relu6 clip (out zp != -128), and the
+    4-conv plan on a second graph shape."""
+    import jax.numpy as jnp
+
+    from microflow_tpu.compiler.builder import apply_layer, init_params
+    from microflow_tpu.kernels.flatpack import build_flat_kernel
+    from microflow_tpu.models import synth
+
+    path = str(tmp_path / "flat_conv.tflite")
+    synth.write(path, synth.flat_conv())
+    g = parse(path)
+    res = build_flat_kernel(g, tb=8, interpret=True)
+    assert res is not None
+    flat_fn, n, meta = res
+    assert n == 4  # the whole conv stack packs
+    params = init_params(g)
+    rng = np.random.default_rng(23)
+    xq = rng.integers(-128, 128, (8, 16, 16, 2), dtype=np.int8)
+    want = jnp.asarray(xq)
+    for layer in g.layers[:n]:
+        want = apply_layer(layer, params, want, "xla")
+    got = flat_fn(jnp.asarray(xq).reshape(8, -1)).reshape(np.asarray(want).shape)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
