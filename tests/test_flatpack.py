@@ -138,3 +138,24 @@ def test_flat_interpret_synth_model(tmp_path):
         want = apply_layer(layer, params, want, "xla")
     got = flat_fn(jnp.asarray(xq).reshape(8, -1)).reshape(np.asarray(want).shape)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_unpackable_graph_raises_clear_error():
+    """backend='flat'/'packed' on a non-conv graph fails at compile time
+    with an actionable message, not at first predict."""
+    path = os.path.join(MODELS, "sine.tflite")
+    with pytest.raises(ValueError, match="flat-packable"):
+        compile_tflite(path, backend="flat")
+    with pytest.raises(ValueError, match="packable"):
+        compile_tflite(path, backend="packed")
+
+
+def test_default_backend_env_override():
+    from microflow_tpu.compiler.builder import default_backend
+
+    assert default_backend() == "xla"
+    os.environ["MFT_BACKEND"] = "pallas"
+    try:
+        assert default_backend() == "pallas"
+    finally:
+        del os.environ["MFT_BACKEND"]
