@@ -242,6 +242,9 @@ def apply_layer(layer, params: dict, x: jax.Array, backend: str = "xla") -> jax.
     raise TypeError(f"unknown layer {type(layer)}")
 
 
+BACKENDS = frozenset({"xla", "pallas", "fused", "hybrid", "flat", "packed"})
+
+
 def default_backend() -> str:
     """Backend selection.
 
@@ -258,8 +261,10 @@ def default_backend() -> str:
     * ``flat`` -- the flat-sample whole-network kernel
       (``kernels/flatpack.py``): statistical parity with xla on v5e
       (708-725k vs 708-744k person_detect inf/s, round 2); bit-exact.
-    * ``packed`` -- the WC-packed guard-row kernel (304k; kept as a
-      parity witness, postmortem in docs/PERFORMANCE.md).
+    * ``packed`` -- EXPERIMENTAL, unsupported: the WC-packed guard-row
+      kernel (304k; superseded by ``flat``, postmortem in
+      docs/PERFORMANCE.md).  Kept as a design witness only; excluded
+      from the supported matrix and the parity invariant.
 
     Default ``xla`` (override with env ``MFT_BACKEND``): measured order
     on v5e is xla ~= flat > hybrid > pallas > packed > fused; xla stays
@@ -268,7 +273,13 @@ def default_backend() -> str:
     """
     import os
 
-    return os.environ.get("MFT_BACKEND", "xla")
+    backend = os.environ.get("MFT_BACKEND", "xla")
+    if backend not in BACKENDS:
+        raise ValueError(
+            f"MFT_BACKEND={backend!r} is not a known backend; "
+            f"choose one of {sorted(BACKENDS)}"
+        )
+    return backend
 
 
 class CompiledModel:
@@ -277,6 +288,10 @@ class CompiledModel:
     def __init__(self, graph: Graph, backend: str | None = None):
         self.graph = graph
         self.backend = backend or default_backend()
+        if self.backend not in BACKENDS:
+            raise ValueError(
+                f"unknown backend {self.backend!r}; choose one of {sorted(BACKENDS)}"
+            )
         self._fused_forward = None
         self._packed = None
         self._flat = None

@@ -221,7 +221,7 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
                 sel = (i_g >= lo) & (i_g < hi)
                 mat = np.zeros((hi - lo, g * LANE), np.int8)
                 mat[i_g[sel] - lo, o_g[sel] - j * LANE] = w_g[sel]
-                key = mat.tobytes()
+                key = (mat.shape, mat.tobytes())
                 cid = cls_by_key.get(key)
                 if cid is None:
                     cid = len(op.mats)

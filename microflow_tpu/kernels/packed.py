@@ -241,7 +241,13 @@ def plan_packed(graph: Graph, max_layers: int | None = None):
             wsum = k.astype(np.int64).sum(axis=(0, 1))
             if i == 0:
                 w_out = geom.out_cols
-                if (w_out * c_out) % LANE or w_out * c_out > MAX_LANES:
+                # the stem treats layer 0 as a depth-multiplier dw over a
+                # single-channel [H, W] plane, and the interior-chunk
+                # representative matrices (ch = (j*LANE+l) % c) only
+                # generalize across chunks when c divides LANE
+                if (len(graph.input_shape) != 3 or graph.input_shape[-1] != 1
+                        or (w_out * c_out) % LANE or w_out * c_out > MAX_LANES
+                        or LANE % c_out):
                     return None
                 op = _PackedOp(
                     kind="stem", h_in=h, h_out=geom.out_rows,
@@ -260,7 +266,7 @@ def plan_packed(graph: Graph, max_layers: int | None = None):
             else:
                 if (geom.k_rows != 3 or geom.k_cols != 3 or c_out != c
                         or decim != 1 or (w * c) % LANE or w * c > MAX_LANES
-                        or c > LANE or (w * c) // LANE < 2):
+                        or c > LANE or LANE % c or (w * c) // LANE < 2):
                     break
                 op = _PackedOp(
                     kind="dw", h_in=h, h_out=geom.out_rows,

@@ -109,6 +109,14 @@ def update_weights_perc_4d(weights, grad_i32, batch_size: int, lr: float, perc: 
     top-``perc`` elements by |gradient|.  Tie order matches the
     reference's insertion sort (earlier-scanned element wins ties),
     which is ``lax.top_k``'s lowest-flat-index-first order.
+
+    Degenerate corner (fewer than ``perc`` elements with nonzero |g|):
+    the reference's fixed-size insertion list keeps its default
+    ``(0, (0,0,0,0))`` entries, and the final loop re-applies the
+    saturating update at flat index 0 once per leftover slot, reading
+    the REAL gradient there (``update_layer.rs:253-259``).  Replicated
+    below: same-sign saturating subtraction is monotone, so k extra
+    applications equal one wide-integer subtract of ``k * delta0``.
     """
     flat = jnp.abs(grad_i32).reshape(-1)
     _, idx = lax.top_k(flat, perc)
@@ -116,6 +124,20 @@ def update_weights_perc_4d(weights, grad_i32, batch_size: int, lr: float, perc: 
     delta = _sat_cast_round(jnp.float32(lr) * g / jnp.float32(batch_size), weights.dtype)
     w = weights.reshape(-1)
     w = w.at[idx].set(saturating_sub_int(w[idx], delta))
+    # leftover default slots -> extra updates at flat index 0
+    nnz = jnp.sum((flat > 0).astype(jnp.int32))
+    extra = jnp.maximum(jnp.int32(perc) - nnz, 0)
+    delta0 = _sat_cast_round(
+        jnp.float32(lr) * f32(grad_i32.reshape(-1)[0]) / jnp.float32(batch_size),
+        weights.dtype,
+    )
+    info = jnp.iinfo(weights.dtype)
+    w0 = jnp.clip(
+        w[0].astype(jnp.int32) - extra * delta0.astype(jnp.int32),
+        info.min,
+        info.max,
+    ).astype(weights.dtype)
+    w = w.at[0].set(w0)
     return w.reshape(weights.shape)
 
 

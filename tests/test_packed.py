@@ -36,6 +36,11 @@ def test_plan_rejects_non_conv_start():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MFT_TEST_EXPERIMENTAL"),
+    reason="packed backend is experimental (superseded by flat; postmortem in "
+    "docs/PERFORMANCE.md); set MFT_TEST_EXPERIMENTAL=1 to run its parity test",
+)
 def test_packed_parity_person_detect():
     rng = np.random.default_rng(11)
     ref = compile_tflite(PERSON, backend="xla")

@@ -235,3 +235,21 @@ def test_update_weights_perc_4d_differs_from_2d():
         w.reshape(2, 2), g.reshape(2, 2), 2, 0.1, perc=3
     )
     assert not np.array_equal(np.asarray(out).reshape(2, 2), np.asarray(out2d))
+
+
+def test_update_weights_perc_4d_degenerate_leftover_slots():
+    # reference update_layer.rs:253-259: with fewer than PERC nonzero
+    # |g|, the insertion list keeps default (0, (0,0,0,0)) entries and
+    # the final loop re-applies the saturating update at flat index 0
+    # once per leftover slot, reading the REAL gradient there (ADVICE r2).
+    w = jnp.array([[10, -10], [20, 5]], jnp.int8).reshape(1, 2, 2, 1)
+    g = jnp.array([[100, 0], [0, 0]], jnp.int32).reshape(1, 2, 2, 1)
+    # nnz=1, perc=3 -> 2 leftover slots; delta0 = round(1.0*100/2) = 50.
+    # Applications at index 0: once as a real top-k entry + twice for the
+    # leftovers = 3x -> 10 - 150 saturates to -128.
+    out = optimizer.update_weights_perc_4d(w, g, 2, 1.0, perc=3)
+    assert np.array_equal(np.asarray(out).reshape(-1), [-128, -10, 20, 5])
+    # zero gradient at index 0 -> leftover slots are no-ops
+    g2 = jnp.array([[0, 0], [0, 60]], jnp.int32).reshape(1, 2, 2, 1)
+    out2 = optimizer.update_weights_perc_4d(w, g2, 2, 1.0, perc=3)
+    assert np.array_equal(np.asarray(out2).reshape(-1), [10, -10, 20, -25])
