@@ -1,0 +1,169 @@
+"""Writer<->parser property fuzz (round-2 VERDICT next #9).
+
+Random-but-valid int8 graphs generated through ``frontend/writer.py``
+must roundtrip identically through BOTH parsers (pure-Python flatbuffer
+reader and the native C++ one) and compile+run.  This replaces trust in
+a handful of fixed synth models with seeded structural coverage of the
+schema surface the reference's generated bindings span
+(``microflow-macros/flatbuffers/tflite.fbs:28``): kernel sizes 1-3,
+strides 1-2, SAME/VALID, all activations, per-tensor AND per-channel
+(quantized_dimension=3) weights, depth-multiplier stems, pools,
+reshapes, FC chains, softmax heads.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from microflow_tpu import native
+from microflow_tpu.compiler.builder import build
+from microflow_tpu.frontend.parser import parse
+from microflow_tpu.frontend.tflite import ActivationFunctionType as Act
+from microflow_tpu.frontend.tflite import BuiltinOperator as Op
+from microflow_tpu.frontend.tflite import Padding, TensorType
+from microflow_tpu.frontend.writer import ModelWriter
+
+from test_native_frontend import _graphs_equal
+
+I8 = TensorType.INT8
+I32 = TensorType.INT32
+
+ACTS = [Act.NONE, Act.RELU, Act.RELU6]
+
+
+def _out_dim(n, k, s, pad):
+    if pad == Padding.SAME:
+        return -(-n // s)
+    return -(-(n - k + 1) // s)
+
+
+def _rand_graph(seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    m = ModelWriter(f"fuzz-{seed}")
+    h = int(rng.integers(4, 13))
+    w = int(rng.integers(4, 13))
+    c = int(rng.choice([1, 2, 3, 4, 8]))
+    shape = (h, w, c)
+    in_s = float(rng.uniform(0.005, 0.1))
+    in_zp = int(rng.integers(-64, 64))
+    cur = x_in = m.tensor([1, *shape], I8, in_s, in_zp, name="input")
+    cur_s, cur_zp = in_s, in_zp
+
+    def act_tensor(shape, name):
+        nonlocal cur_s, cur_zp
+        cur_s = float(rng.uniform(0.005, 0.1))
+        cur_zp = int(rng.integers(-128, 64))
+        return m.tensor([1, *shape], I8, cur_s, cur_zp, name=name)
+
+    n_ops = int(rng.integers(1, 5))
+    for i in range(n_ops):
+        kind = rng.choice(["conv", "dw", "pool"]) if len(shape) == 3 else "fc"
+        kh, kw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        sh, sw = int(rng.choice([1, 2])), int(rng.choice([1, 2]))
+        pad = Padding.SAME if rng.random() < 0.7 else Padding.VALID
+        act = ACTS[int(rng.integers(0, 3))]
+        hh, ww_, cc = shape
+        if kh > hh or kw > ww_:
+            pad = Padding.SAME
+        oh, ow = _out_dim(hh, kh, sh, pad), _out_dim(ww_, kw, sw, pad)
+        if oh < 1 or ow < 1:
+            continue
+        if kind == "conv":
+            f = int(rng.integers(1, 9))
+            per_ch = rng.random() < 0.4
+            wdata = rng.normal(0, 0.3, (f, kh, kw, cc)).astype(np.float32)
+            if per_ch:
+                ws = np.maximum(np.abs(wdata).max(axis=(1, 2, 3)) / 127.0,
+                                1e-6).astype(np.float32)
+                q = np.clip(np.round(wdata / ws[:, None, None, None]),
+                            -127, 127).astype(np.int8)
+                t_w = m.tensor([f, kh, kw, cc], I8, ws,
+                               np.zeros(f, np.int64), data=q, name=f"w{i}",
+                               quantized_dimension=0)
+                bs = (cur_s * ws).astype(np.float32)
+            else:
+                ws = float(np.maximum(np.abs(wdata).max() / 127.0, 1e-6))
+                q = np.clip(np.round(wdata / ws), -127, 127).astype(np.int8)
+                t_w = m.tensor([f, kh, kw, cc], I8, ws, 0, data=q, name=f"w{i}")
+                bs = np.float32(cur_s * ws)
+            b = np.round(rng.normal(0, 0.05, f) / bs).astype(np.int32)
+            t_b = m.tensor([f], I32, bs, np.zeros(f, np.int64) if per_ch else 0,
+                           data=b, name=f"b{i}")
+            out = act_tensor((oh, ow, f), f"conv{i}")
+            m.add_op(Op.CONV_2D, [cur, t_w, t_b], [out],
+                     m.conv_options(pad, (sh, sw), act))
+            cur, shape = out, (oh, ow, f)
+        elif kind == "dw":
+            mult = int(rng.choice([1, 2])) if cc == 1 else 1
+            ch = cc * mult
+            wdata = rng.normal(0, 0.3, (1, kh, kw, ch)).astype(np.float32)
+            per_ch = rng.random() < 0.4
+            if per_ch:
+                ws = np.maximum(np.abs(wdata).max(axis=(0, 1, 2)) / 127.0,
+                                1e-6).astype(np.float32)
+                q = np.clip(np.round(wdata / ws[None, None, None, :]),
+                            -127, 127).astype(np.int8)
+                t_w = m.tensor([1, kh, kw, ch], I8, ws,
+                               np.zeros(ch, np.int64), data=q, name=f"w{i}",
+                               quantized_dimension=3)
+                bs = (cur_s * ws).astype(np.float32)
+                bz = np.zeros(ch, np.int64)
+            else:
+                ws = float(np.maximum(np.abs(wdata).max() / 127.0, 1e-6))
+                q = np.clip(np.round(wdata / ws), -127, 127).astype(np.int8)
+                t_w = m.tensor([1, kh, kw, ch], I8, ws, 0, data=q, name=f"w{i}")
+                bs, bz = np.float32(cur_s * ws), 0
+            b = np.round(rng.normal(0, 0.05, ch) / np.asarray(bs)).astype(np.int32)
+            t_b = m.tensor([ch], I32, bs, bz, data=b, name=f"b{i}")
+            out = act_tensor((oh, ow, ch), f"dw{i}")
+            m.add_op(Op.DEPTHWISE_CONV_2D, [cur, t_w, t_b], [out],
+                     m.dwconv_options(pad, (sh, sw), mult, act))
+            cur, shape = out, (oh, ow, ch)
+        elif kind == "pool":
+            kh = min(kh, hh)
+            kw = min(kw, ww_)
+            oh, ow = _out_dim(hh, kh, sh, Padding.VALID), _out_dim(ww_, kw, sw, Padding.VALID)
+            if oh < 1 or ow < 1:
+                continue
+            out = m.tensor([1, oh, ow, cc], I8, cur_s, cur_zp, name=f"pool{i}")
+            m.add_op(Op.AVERAGE_POOL_2D, [cur], [out],
+                     m.pool_options(Padding.VALID, (sh, sw), (kh, kw), Act.NONE))
+            cur, shape = out, (oh, ow, cc)
+
+    # flatten + FC head + softmax (the reference's canonical tail)
+    n = int(np.prod(shape))
+    if len(shape) == 3:
+        flat = m.tensor([1, n], I8, cur_s, cur_zp, name="flat")
+        m.add_op(Op.RESHAPE, [cur], [flat], m.reshape_options([1, n]))
+        cur = flat
+    n_cls = int(rng.integers(2, 6))
+    wdata = rng.normal(0, 0.2, (n_cls, n)).astype(np.float32)
+    ws = float(np.maximum(np.abs(wdata).max() / 127.0, 1e-6))
+    q = np.clip(np.round(wdata / ws), -127, 127).astype(np.int8)
+    t_w = m.tensor([n_cls, n], I8, ws, 0, data=q, name="fc_w")
+    b = np.round(rng.normal(0, 0.05, n_cls) / (cur_s * ws)).astype(np.int32)
+    t_b = m.tensor([n_cls], I32, cur_s * ws, 0, data=b, name="fc_b")
+    logits = m.tensor([1, n_cls], I8, 0.05, 0, name="logits")
+    m.add_op(Op.FULLY_CONNECTED, [cur, t_w, t_b], [logits], m.fc_options(Act.NONE))
+    probs = m.tensor([1, n_cls], I8, 1 / 256.0, -128, name="probs")
+    m.add_op(Op.SOFTMAX, [logits], [probs], m.softmax_options(1.0))
+    return m.finish([x_in], [probs])
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_writer_parser_roundtrip(seed, tmp_path):
+    data = _rand_graph(seed)
+    path = str(tmp_path / f"fuzz{seed}.tflite")
+    with open(path, "wb") as f:
+        f.write(data)
+    g_py = parse(path, frontend="python")
+    if native.available():
+        _graphs_equal(parse(path, frontend="native"), g_py)
+    # the graph must also compile and run on the exact integer path
+    model = build(g_py)
+    rng = np.random.default_rng(seed)
+    xq = rng.integers(-128, 128, (2, *g_py.input_shape), dtype=np.int8)
+    y = np.asarray(model.predict_inner(xq))
+    assert y.shape == (2, *g_py.output_shape)
+    assert y.dtype == np.int8
