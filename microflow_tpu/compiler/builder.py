@@ -363,7 +363,8 @@ class CompiledModel:
         if pad:
             x2 = jnp.concatenate(
                 [x2, jnp.zeros((pad, meta["in_lanes"]), x2.dtype)], axis=0)
-        y = flat_fn(x2)[:b]
+        off = meta["out_off"]
+        y = flat_fn(x2)[:b, off : off + meta["out_lanes"]]
         x = y.reshape(b, *meta["out_shape"])
         for layer in self.graph.layers[n_layers:]:
             x = apply_layer(layer, params, x, "xla")

@@ -15,6 +15,22 @@ the WC-packed guard-row design).  Activations live as 2D int8
 * the requant epilogue runs only on true output elements, per chunk,
   with ref-sliced constant planes.
 
+Round-3 additions:
+
+* **Phase offsets**: every intermediate tensor gets a planning-time
+  lane offset in its padded flat buffer, chosen per edge (greedy, true
+  slot-cost argmin) so dw windows land on 128-lane chunk boundaries.
+  Without an offset a stride-1 dw window ``[(w-1)*C, (w+2)*C)`` starts
+  ``C`` lanes before a chunk edge and snaps to 3 chunks (K=384/row);
+  with ``in_off - out_off = C (mod 128)`` it spans exactly
+  ``ceil((128+2C)/128)`` chunks (K=256/row for C<=64) -- a ~25-30%
+  MXU-slot cut on the C in {8..64} dw layers.
+* **VPU tap ops**: stride-1 dw layers whose tap shifts are multiples of
+  128 lanes (C % 128 == 0, offsets 0) skip the MXU entirely: each of
+  the 9 taps is an aligned lane-slice multiply-accumulate against a
+  per-lane weight plane (edge-masked), an exact integer reformulation
+  with ~50x fewer MXU-slot-equivalents than the dense-dot form.
+
 Algebra is the engine's exact integer recipe (reference hot loops
 ``src/ops/depthwise_conv_2d.rs:100-109``, ``conv_2d.rs:92-99``): raw
 int8 dot in i32, plus a per-lane constant ``d = -in_zp * colsum(mat)``
@@ -26,6 +42,7 @@ the XLA backend (tests/test_flatpack.py).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import jax
@@ -60,25 +77,54 @@ def _per_channel(vals, n):
 
 @dataclass
 class _FlatOp:
-    lanes_in: int
-    lanes_out: int
-    out_shape: tuple  # (h, w, c)
+    kind: str  # "conv" (MXU dot groups) | "taps" (VPU shift-MACs) | "softmax"
+    lanes_in: int  # logical
+    lanes_out: int  # logical
+    in_off: int
+    out_off: int
+    lanes_in_p: int  # padded (multiple of LANE)
+    lanes_out_p: int
+    out_shape: tuple  # (h, w, c) logical
     mats: list = field(default_factory=list)
     # per group: (out_lo, [(window_lo, class_id), ...]) -- adjacent
     # chunks fused into one dot, clustered into one window per run of
     # occupied input chunks; mats[class_id] is [width, 128*g] int8
     groups: list = field(default_factory=list)
-    d_plane: np.ndarray | None = None  # i32 [1, lanes_out]
-    bias_plane: np.ndarray | None = None  # f32 [1, lanes_out]
-    c1_plane: np.ndarray | None = None  # f32 [1, lanes_out]
+    # taps-op payload: [(shift_lanes, out_lo, out_hi)]; the per-lane
+    # weight plane w_plane[tap] is an i32 [1, lanes_out_p] constant with
+    # edge-invalid lanes zeroed
+    taps: list = field(default_factory=list)
+    tap_planes: list = field(default_factory=list)
+    tap_ranges: list = field(default_factory=list)  # aligned (lo, hi) out ranges
+    # epilogue: "conv" = saturate(round_away(bias + c1*f32(acc+d)));
+    # "pool" = saturate(round_away(c1 * (recip*f32(acc)) + bias))
+    # (pool maps C0 -> c1_plane, C1 -> bias_plane, 1/len -> r_plane)
+    epi: str = "conv"
+    d_plane: np.ndarray | None = None  # i32 [1, lanes_out_p]
+    bias_plane: np.ndarray | None = None  # f32 [1, lanes_out_p]
+    c1_plane: np.ndarray | None = None  # f32 [1, lanes_out_p]
+    r_plane: np.ndarray | None = None  # f32 [1, lanes_out_p] (pool recip)
+    # softmax params: masked exp over the real lanes of one chunk
+    sm_mask: np.ndarray | None = None  # f32 [1, LANE]
+    sm_in_scale: float = 0.0
+    sm_out_scale: float = 0.0
     clip_lo: float = -128.0
     clip_hi: float = 127.0
     out_zp: int = 0
+    layer_idx: int = -1  # graph.layers index this op implements
     # fixed-point epilogue planes (requant="fixed"): p=(acc+db)*m;
     # y = sign(p)*floor(|p|*inv2s + 0.5) + out_zp
-    db_plane: np.ndarray | None = None  # f32 [1, lanes_out] = d + bias_q
-    m_plane: np.ndarray | None = None  # f32 [1, lanes_out]
-    inv2s_plane: np.ndarray | None = None  # f32 [1, lanes_out] = 2**-S
+    db_plane: np.ndarray | None = None  # f32 [1, lanes_out_p] = d + bias_q
+    m_plane: np.ndarray | None = None  # f32 [1, lanes_out_p]
+    inv2s_plane: np.ndarray | None = None  # f32 [1, lanes_out_p] = 2**-S
+
+    def slots(self) -> int:
+        """MXU slot-products per sample (see scripts/flat_stats.py)."""
+        total = 0
+        for _, parts in self.groups:
+            n = self.mats[parts[0][1]].shape[1]
+            total += sum(self.mats[cid].shape[0] for _, cid in parts) * n
+        return total
 
 
 def _layer_taps(layer, in_shape):
@@ -129,120 +175,415 @@ def _layer_taps(layer, in_shape):
             (h_out, w_out, c_out))
 
 
-def plan_flat(graph: Graph, max_layers: int | None = None,
-              max_window: int = MAX_WINDOW, group_n: int = 512):
-    """Plan the maximal flat-packable prefix; None if < 2 layers pack."""
-    if np.dtype(graph.input_dtype) != np.int8:
+def _cluster_and_group(oo_p, ii_p, ww, lanes_out_p, max_window, group_n):
+    """Window-cluster + greedy-fuse one layer's (padded-index) taps.
+
+    Returns (groups, mats, slots) or None if any window exceeds
+    ``max_window``.  Chunks with no taps (dead padding lanes) emit no
+    group; their requant planes are zero and downstream matrices never
+    reference them."""
+    order = np.argsort(oo_p, kind="stable")
+    oo_p, ii_p, ww = oo_p[order], ii_p[order], ww[order]
+    nch = lanes_out_p // LANE
+    chunk_of = oo_p // LANE
+    bounds = np.searchsorted(chunk_of, np.arange(nch + 1))
+
+    def clusters(i_any):
+        """Gap-based window clustering of tap lanes: contiguous runs
+        of occupied 128-chunks (gap >= 1 empty chunk splits -- one
+        window for pw, one per kernel row for dw).  Returns aligned
+        (lo, hi) windows."""
+        ch = np.unique(i_any // LANE)
+        splits = np.where(np.diff(ch) > 1)[0]
+        out = []
+        start = 0
+        for sp in list(splits) + [len(ch) - 1]:
+            out.append((int(ch[start]) * LANE, (int(ch[sp]) + 1) * LANE))
+            start = sp + 1
+        return out
+
+    def cl_slots(cl):
+        return sum(hi - lo for lo, hi in cl)
+
+    chunk_cl = []  # per chunk: list of aligned windows (None = dead chunk)
+    for j in range(nch):
+        s, e = bounds[j], bounds[j + 1]
+        if s == e:
+            chunk_cl.append(None)
+            continue
+        cl = clusters(ii_p[s:e])
+        if max(hi - lo for lo, hi in cl) > max_window:
+            return None
+        chunk_cl.append(cl)
+
+    # greedy-fuse adjacent chunks into one (multi-window) dot group
+    # while the fused clustered windows don't inflate MXU slots
+    groups, mats = [], []
+    cls_by_key = {}
+    slots = 0
+    j = 0
+    while j < nch:
+        if chunk_cl[j] is None:
+            j += 1
+            continue
+        g = 1
+        cl = chunk_cl[j]
+        while j + g < nch and g < group_n // LANE and chunk_cl[j + g] is not None:
+            s, e = bounds[j], bounds[j + g + 1]
+            ncl = clusters(ii_p[s:e])
+            if (max(hi - lo for lo, hi in ncl) > max_window
+                    or (cl_slots(ncl) * (g + 1)
+                        > 1.05 * (cl_slots(cl) * g + cl_slots(chunk_cl[j + g])))):
+                break
+            cl = ncl
+            g += 1
+        s, e = bounds[j], bounds[j + g]
+        o_g, i_g, w_g = oo_p[s:e], ii_p[s:e], ww[s:e]
+        parts = []
+        for lo, hi in cl:
+            sel = (i_g >= lo) & (i_g < hi)
+            mat = np.zeros((hi - lo, g * LANE), np.int8)
+            mat[i_g[sel] - lo, o_g[sel] - j * LANE] = w_g[sel]
+            key = (mat.shape, mat.tobytes())
+            cid = cls_by_key.get(key)
+            if cid is None:
+                cid = len(mats)
+                cls_by_key[key] = cid
+                mats.append(mat)
+            parts.append((int(lo), cid))
+            slots += mat.shape[0] * mat.shape[1]
+        groups.append((j * LANE, parts))
+        j += g
+    return groups, mats, slots
+
+
+def _offset_candidates(c_out: int) -> list:
+    """Output-edge offset candidates: the distinct multiples of
+    gcd(c_out, 128) mod 128 (window phases repeat with this period),
+    capped at 16 values."""
+    g = math.gcd(c_out, 128)
+    if 128 // g > 16:
+        g = 8
+    return list(range(0, 128, g))
+
+
+def _search_cost(oo, ii, out_off, in_off) -> int:
+    """Fast slot cost of a layer at given edge offsets, g=1 grouping.
+
+    Window clustering merges runs of CONSECUTIVE occupied input chunks,
+    so each out chunk's summed window height is 128 * (#occupied input
+    chunks) -- total slots = 128*128*|{(out_chunk, in_chunk)}|."""
+    key = (((oo + out_off) // LANE).astype(np.int64) << 32) | ((ii + in_off) // LANE)
+    return LANE * LANE * int(np.unique(key).size)
+
+
+def _dw_aligned_cands(layer, in_shape, in_off) -> list:
+    """Analytic chunk-aligning out offsets for a dw layer: the window
+    start for out chunk j is in_off + st*(128j - out_off) - left*C
+    (mod 128), so alignment needs st*out_off = in_off - left*C."""
+    if not isinstance(layer, DepthwiseConv2DLayer):
+        return []
+    geom = layer.geom
+    c = in_shape[2]
+    _, _, left, _ = geom.pad_amounts()
+    st = geom.stride_cols
+    rhs = (in_off - left * c) % 128
+    if st == 1:
+        return [rhs]
+    if st == 2 and rhs % 2 == 0:
+        return [rhs // 2, rhs // 2 + 64]
+    return []
+
+
+def _taps_applicable(layer, in_shape, out_shape) -> bool:
+    if not isinstance(layer, DepthwiseConv2DLayer):
+        return False
+    geom = layer.geom
+    h_in, w_in, c_in = in_shape
+    h_out, w_out, c_out = out_shape
+    return (geom.stride_rows == 1 and geom.stride_cols == 1
+            and c_out == c_in and c_out % LANE == 0
+            and (h_in, w_in) == (h_out, w_out))
+
+
+# nominal MXU-slot-equivalent cost per output lane of a VPU tap op (9
+# tap mul-adds ~ a few hundred slot-times); only needs to rank below
+# the ~900-slot/lane dense-dot alternative it replaces
+TAPS_COST_PER_LANE = 160
+
+
+def _try_taps(layer, in_shape, out_shape, in_off, out_off, lanes_in_p):
+    """VPU tap formulation for stride-1 dw with chunk-aligned tap
+    shifts: each tap is src[:, lo+shift : hi+shift] * w_plane -- exact
+    same integer accumulator as the dense-dot form, zero MXU slots.
+    Returns (taps, planes, ranges) or None."""
+    if not isinstance(layer, DepthwiseConv2DLayer):
         return None
-    if len(graph.input_shape) != 3:
+    geom = layer.geom
+    h_in, w_in, c_in = in_shape
+    h_out, w_out, c_out = out_shape
+    if (geom.stride_rows != 1 or geom.stride_cols != 1 or c_out != c_in
+            or c_out % LANE or in_off != out_off
+            or (h_in, w_in) != (h_out, w_out)):
+        return None
+    top, _, left, _ = geom.pad_amounts()
+    kh, kw = geom.k_rows, geom.k_cols
+    lanes_out = h_out * w_out * c_out
+    lanes_out_p = -(-(lanes_out + out_off) // LANE) * LANE
+    o = np.arange(lanes_out)
+    h, rem = np.divmod(o, w_out * c_out)
+    w, c = np.divmod(rem, c_out)
+    taps, planes, ranges = [], [], []
+    for dh in range(kh):
+        for dw in range(kw):
+            shift = ((dh - top) * w_in + (dw - left)) * c_in
+            if shift % LANE:
+                return None
+            hi_ = h + dh - top
+            wi_ = w + dw - left
+            ok = (hi_ >= 0) & (hi_ < h_in) & (wi_ >= 0) & (wi_ < w_in)
+            plane = np.zeros(lanes_out_p, np.int32)
+            plane[out_off + o[ok]] = layer.weights[dh, dw, :][c[ok]]
+            # aligned out range whose src slice stays in-bounds
+            lo = max(0, -shift)
+            hi = min(lanes_out_p, lanes_in_p - shift)
+            lo = (lo // LANE) * LANE
+            hi = (hi // LANE) * LANE
+            if np.any(plane[:lo] != 0) or np.any(plane[hi:] != 0):
+                return None  # a valid tap falls outside the safe range
+            if lo >= hi:
+                continue
+            taps.append(shift)
+            planes.append(plane.reshape(1, lanes_out_p))
+            ranges.append((lo, hi))
+    return taps, planes, ranges
+
+
+def _pool_taps(layer, in_shape):
+    """COO taps (out_lane, in_lane, 1) for AveragePool2D: the plain
+    in-bounds view sum (reference zero-fills OOB and divides by the
+    in-bounds count -- ``src/ops/average_pool_2d.rs:82-95``)."""
+    h_in, w_in, c = in_shape
+    geom = layer.geom
+    top, _, left, _ = geom.pad_amounts()
+    h_out, w_out = geom.out_rows, geom.out_cols
+    o = np.arange(h_out * w_out * c)
+    h, rem = np.divmod(o, w_out * c)
+    w, ch = np.divmod(rem, c)
+    oo, ii = [], []
+    for dh in range(geom.k_rows):
+        for dw in range(geom.k_cols):
+            hi = h * geom.stride_rows + dh - top
+            wi = w * geom.stride_cols + dw - left
+            ok = (hi >= 0) & (hi < h_in) & (wi >= 0) & (wi < w_in)
+            oo.append(o[ok])
+            ii.append(((hi * w_in + wi) * c + ch)[ok])
+    oo, ii = np.concatenate(oo), np.concatenate(ii)
+    return oo, ii, np.ones(len(oo), np.int8), (h_out, w_out, c)
+
+
+def _pack_prefix(graph: Graph, max_layers):
+    """Walk the packable layer chain: the conv/dw prefix plus (when it
+    reaches them) the AveragePool2D / head-conv / Reshape / Softmax
+    tail.  Returns [(kind, layer, in_shape, out_shape, oo, ii, ww)]."""
+    from ..compiler.ir import AveragePool2DLayer, ReshapeLayer, SoftmaxLayer
+
+    if np.dtype(graph.input_dtype) != np.int8 or len(graph.input_shape) != 3:
         return None
     in_shape = tuple(graph.input_shape)
-    lanes_in0 = int(np.prod(in_shape))
-    if lanes_in0 % LANE:
-        return None
-
-    ops, n = [], 0
+    layers = []
+    n_convs = 0
     for idx, layer in enumerate(graph.layers):
         if max_layers is not None and idx >= max_layers:
             break
-        if not isinstance(layer, (Conv2DLayer, DepthwiseConv2DLayer)):
+        if isinstance(layer, (Conv2DLayer, DepthwiseConv2DLayer)):
+            n_ch = (layer.weights.shape[2]
+                    if isinstance(layer, DepthwiseConv2DLayer)
+                    else layer.filters.shape[0])
+            if np.any(_per_channel(layer.w_q.zero_point, n_ch) != 0):
+                break
+            if len(in_shape) != 3:
+                break
+            taps = _layer_taps(layer, in_shape)
+            if taps is None:
+                break
+            oo, ii, ww, out_shape = taps
+            if int(np.prod(out_shape)) > MAX_LANES:
+                break
+            layers.append(("conv", layer, in_shape, out_shape, oo, ii, ww))
+            n_convs += 1
+        elif isinstance(layer, AveragePool2DLayer) and len(in_shape) == 3:
+            oo, ii, ww, out_shape = _pool_taps(layer, in_shape)
+            layers.append(("pool", layer, in_shape, out_shape, oo, ii, ww))
+        elif isinstance(layer, ReshapeLayer):
+            out_shape = tuple(layer.out_shape)
+            if int(np.prod(out_shape)) != int(np.prod(in_shape)):
+                break
+            layers.append(("skip", layer, in_shape, out_shape, None, None, None))
+        elif isinstance(layer, SoftmaxLayer):
+            n = int(np.prod(in_shape))
+            if n > LANE:
+                break
+            layers.append(("softmax", layer, in_shape, tuple(layer.out_shape),
+                           None, None, None))
+        else:
             break
-        n_ch = (layer.weights.shape[2] if isinstance(layer, DepthwiseConv2DLayer)
-                else layer.filters.shape[0])
-        if np.any(_per_channel(layer.w_q.zero_point, n_ch) != 0):
-            break
-        taps = _layer_taps(layer, in_shape)
-        if taps is None:
-            break
-        oo, ii, ww, out_shape = taps
+        in_shape = layers[-1][3]
+    # drop a trailing tail that never reached a compute op
+    while layers and layers[-1][0] == "skip":
+        layers.pop()
+    return layers if n_convs >= 2 else None
+
+
+def _search_offsets(packed, use_offsets, use_taps, beam=4):
+    """Beam-search (width ``beam``) the per-edge lane offsets that
+    minimize total MXU slots, with VPU tap ops at their nominal cost.
+    Returns the chosen offset chain [off_0, ..., off_n] (edge i is the
+    input of layer i)."""
+    # states: in_off -> (cum_cost, path)
+    states = {0: (0, (0,))}
+    for kind, layer, in_shape, out_shape, oo, ii, ww in packed:
+        if kind in ("skip", "softmax"):
+            # pass-through / lane-local op: offset carries over
+            states = {off: (cum, path + (off,))
+                      for off, (cum, path) in states.items()}
+            continue
+        c_out = out_shape[-1]
+        lanes_out = int(np.prod(out_shape))
+        cands = _offset_candidates(c_out) if use_offsets else [0]
+        taps_ok = (kind == "conv" and use_taps
+                   and _taps_applicable(layer, in_shape, out_shape))
+        nxt = {}
+        for in_off, (cum, path) in states.items():
+            extra = (_dw_aligned_cands(layer, in_shape, in_off)
+                     if use_offsets and kind == "conv" else [])
+            for out_off in dict.fromkeys(cands + extra):
+                if lanes_out + out_off > MAX_LANES:
+                    continue
+                cost = _search_cost(oo, ii, out_off, in_off)
+                if taps_ok and out_off == in_off:
+                    cost = min(cost, TAPS_COST_PER_LANE * lanes_out)
+                total = cum + cost
+                if out_off not in nxt or total < nxt[out_off][0]:
+                    nxt[out_off] = (total, path + (out_off,))
+        if not nxt:
+            return None
+        states = dict(sorted(nxt.items(), key=lambda kv: kv[1][0])[:beam])
+    best = min(states.values(), key=lambda v: v[0])
+    return list(best[1])
+
+
+def plan_flat(graph: Graph, max_layers: int | None = None,
+              max_window: int = MAX_WINDOW, group_n: int = 512,
+              use_offsets: bool = True, use_taps: bool = True):
+    """Plan the maximal flat-packable prefix; None if < 2 layers pack."""
+    packed = _pack_prefix(graph, max_layers)
+    if packed is None:
+        return None
+    offs = _search_offsets(packed, use_offsets, use_taps)
+    if offs is None:
+        return None
+
+    lanes_in0 = int(np.prod(packed[0][2]))
+    ops, n = [], 0
+    cur_off = offs[0]
+    cur_lanes_p = -(-(lanes_in0 + cur_off) // LANE) * LANE
+    for idx, (kind, layer, in_shape, out_shape, oo, ii, ww) in enumerate(packed):
         lanes_in = int(np.prod(in_shape))
         lanes_out = int(np.prod(out_shape))
-        if lanes_out % LANE or lanes_out > MAX_LANES:
-            break
-        op = _FlatOp(lanes_in=lanes_in, lanes_out=lanes_out, out_shape=out_shape)
-        order = np.argsort(oo, kind="stable")
-        oo, ii, ww = oo[order], ii[order], ww[order]
-        chunk_of = oo // LANE
-        bounds = np.searchsorted(chunk_of, np.arange(lanes_out // LANE + 1))
+        out_off = offs[idx + 1]
+        lanes_out_p = -(-(lanes_out + out_off) // LANE) * LANE
+
+        if kind == "skip":
+            # pure reshape: the flat buffer is unchanged
+            n = idx + 1
+            continue
+        if kind == "softmax":
+            if cur_off + lanes_in > LANE:
+                break
+            op = _FlatOp(kind="softmax", lanes_in=lanes_in, lanes_out=lanes_in,
+                         in_off=cur_off, out_off=cur_off,
+                         lanes_in_p=cur_lanes_p, lanes_out_p=LANE,
+                         out_shape=out_shape)
+            mask = np.zeros(LANE, np.float32)
+            mask[cur_off : cur_off + lanes_in] = 1.0
+            op.sm_mask = mask.reshape(1, LANE)
+            op.sm_in_scale = float(layer.in_q.scale0)
+            op.sm_out_scale = float(layer.out_q.scale0)
+            op.out_zp = layer.out_q.zp0
+            op.layer_idx = idx
+            ops.append(op)
+            cur_lanes_p = LANE
+            n = idx + 1
+            continue
+
+        c_out = out_shape[2]
+        ii_p = ii + cur_off
+
+        # VPU tap formulation (C % 128 == 0 stride-1 dw): zero MXU
+        # slots, aligned lane-slice MACs
+        tap_plan = (_try_taps(layer, in_shape, out_shape, cur_off, out_off,
+                              cur_lanes_p)
+                    if kind == "conv" and use_taps and out_off == cur_off
+                    else None)
+        if tap_plan is not None:
+            op = _FlatOp(kind="taps", lanes_in=lanes_in, lanes_out=lanes_out,
+                         in_off=cur_off, out_off=out_off,
+                         lanes_in_p=cur_lanes_p, lanes_out_p=lanes_out_p,
+                         out_shape=out_shape)
+            op.taps, op.tap_planes, op.tap_ranges = tap_plan
+        else:
+            r = _cluster_and_group(oo + out_off, ii_p, ww, lanes_out_p,
+                                   max_window, group_n)
+            if r is None:
+                break
+            groups, mats, _slots = r
+            op = _FlatOp(kind="conv", lanes_in=lanes_in, lanes_out=lanes_out,
+                         in_off=cur_off, out_off=out_off,
+                         lanes_in_p=cur_lanes_p, lanes_out_p=lanes_out_p,
+                         out_shape=out_shape)
+            op.groups, op.mats = groups, mats
+
+        def pad_plane(vals, dtype):
+            p = np.zeros(op.lanes_out_p, dtype)
+            p[op.out_off : op.out_off + lanes_out] = vals
+            return p.reshape(1, op.lanes_out_p)
+
+        op.clip_lo, op.clip_hi = _clip_bounds(
+            layer.activation, float(layer.out_q.scale0), layer.out_q.zp0)
+        op.out_zp = layer.out_q.zp0
+        if kind == "pool":
+            # reference R9: y = roundf(C0 * ((1/len) * f32(sum)) + C1)
+            op.epi = "pool"
+            h_out, w_out, c = out_shape
+            recip = (np.float32(1.0)
+                     / layer.geom.len_plane().astype(np.float32))
+            op.r_plane = pad_plane(
+                np.repeat(recip.reshape(-1), c).astype(np.float32), np.float32)
+            op.c1_plane = pad_plane(
+                np.full(lanes_out, layer.c0, np.float32), np.float32)
+            op.bias_plane = pad_plane(
+                np.full(lanes_out, layer.c1, np.float32), np.float32)
+            op.layer_idx = idx
+            ops.append(op)
+            cur_off = op.out_off
+            cur_lanes_p = op.lanes_out_p
+            n = idx + 1
+            continue
+
         colsum = np.zeros(lanes_out, np.int64)
         np.add.at(colsum, oo, ww.astype(np.int64))
-        def clusters(i_any):
-            """Gap-based window clustering of tap lanes: contiguous runs
-            of occupied 128-chunks (gap >= 1 empty chunk splits -- one
-            window for pw, one per kernel row for dw).  Returns aligned
-            (lo, hi) windows."""
-            ch = np.unique(i_any // LANE)
-            splits = np.where(np.diff(ch) > 1)[0]
-            out = []
-            start = 0
-            for sp in list(splits) + [len(ch) - 1]:
-                out.append((int(ch[start]) * LANE, (int(ch[sp]) + 1) * LANE))
-                start = sp + 1
-            return out
-
-        def cl_slots(cl):
-            return sum(hi - lo for lo, hi in cl)
-
-        ok = True
-        chunk_cl = []  # per chunk: list of aligned windows
-        for j in range(lanes_out // LANE):
-            s, e = bounds[j], bounds[j + 1]
-            if s == e:
-                ok = False
-                break
-            cl = clusters(ii[s:e])
-            if max(hi - lo for lo, hi in cl) > max_window:
-                ok = False
-                break
-            chunk_cl.append(cl)
-        if not ok:
-            break
-        # greedy-fuse adjacent chunks into one (multi-window) dot group
-        # while the fused clustered windows don't inflate MXU slots
-        cls_by_key = {}
-        j = 0
-        nch = lanes_out // LANE
-        while j < nch:
-            g = 1
-            cl = chunk_cl[j]
-            while j + g < nch and g < group_n // LANE:
-                s, e = bounds[j], bounds[j + g + 1]
-                ncl = clusters(ii[s:e])
-                if (max(hi - lo for lo, hi in ncl) > max_window
-                        or (cl_slots(ncl) * (g + 1)
-                            > 1.05 * (cl_slots(cl) * g + cl_slots(chunk_cl[j + g])))):
-                    break
-                cl = ncl
-                g += 1
-            s, e = bounds[j], bounds[j + g]
-            o_g, i_g, w_g = oo[s:e], ii[s:e], ww[s:e]
-            parts = []
-            for lo, hi in cl:
-                sel = (i_g >= lo) & (i_g < hi)
-                mat = np.zeros((hi - lo, g * LANE), np.int8)
-                mat[i_g[sel] - lo, o_g[sel] - j * LANE] = w_g[sel]
-                key = (mat.shape, mat.tobytes())
-                cid = cls_by_key.get(key)
-                if cid is None:
-                    cid = len(op.mats)
-                    cls_by_key[key] = cid
-                    op.mats.append(mat)
-                parts.append((int(lo), cid))
-            op.groups.append((j * LANE, parts))
-            j += g
         in_zp = layer.in_q.zp0
         d = (-np.int64(in_zp) * colsum).astype(np.int64)
         if np.any(d != d.astype(np.int32)):
             break
-        op.d_plane = d.astype(np.int32).reshape(1, lanes_out)
-        c_out = out_shape[2]
+
+        op.d_plane = pad_plane(d.astype(np.int32), np.int32)
         cidx = np.arange(lanes_out) % c_out
         bias0 = np.float32(layer.out_q.zp0) + layer.c0.astype(np.float32)
-        op.bias_plane = bias0[cidx].astype(np.float32).reshape(1, lanes_out)
-        op.c1_plane = _per_channel(layer.c1, c_out).astype(np.float32)[cidx].reshape(1, lanes_out)
-        op.clip_lo, op.clip_hi = _clip_bounds(
-            layer.activation, float(layer.out_q.scale0), layer.out_q.zp0)
-        op.out_zp = layer.out_q.zp0
+        op.bias_plane = pad_plane(bias0[cidx].astype(np.float32), np.float32)
+        op.c1_plane = pad_plane(
+            _per_channel(layer.c1, c_out).astype(np.float32)[cidx], np.float32)
         # fixed-point (M, S) epilogue planes (core/fixedpoint.py's form,
         # folded per lane; d and bias_q combine into one constant)
         from ..core.fixedpoint import quantize_multipliers
@@ -250,37 +591,45 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
         c1_ch = _per_channel(layer.c1, c_out).astype(np.float32)
         m_ch, s_ch = quantize_multipliers(c1_ch)
         bias_q_ch = np.round(layer.c0.astype(np.float32) / c1_ch)
-        op.db_plane = (d.astype(np.float32)
-                       + bias_q_ch[cidx]).astype(np.float32).reshape(1, lanes_out)
-        op.m_plane = m_ch[cidx].astype(np.float32).reshape(1, lanes_out)
-        op.inv2s_plane = np.exp2(-s_ch[cidx].astype(np.float32)).reshape(1, lanes_out)
+        op.db_plane = pad_plane(
+            (d.astype(np.float32) + bias_q_ch[cidx]).astype(np.float32), np.float32)
+        op.m_plane = pad_plane(m_ch[cidx].astype(np.float32), np.float32)
+        op.inv2s_plane = pad_plane(
+            np.exp2(-s_ch[cidx].astype(np.float32)), np.float32)
+        op.layer_idx = idx
         ops.append(op)
-        in_shape = out_shape
+        cur_off = op.out_off
+        cur_lanes_p = op.lanes_out_p
         n = idx + 1
     if n < 2:
         return None
     meta = dict(in_lanes=lanes_in0, in_shape=tuple(graph.input_shape),
-                out_shape=ops[-1].out_shape, out_lanes=ops[-1].lanes_out)
+                in_off=ops[0].in_off, in_lanes_p=ops[0].lanes_in_p,
+                out_shape=ops[-1].out_shape, out_lanes=ops[-1].lanes_out,
+                out_off=ops[-1].out_off, out_lanes_p=ops[-1].lanes_out_p)
     return ops, n, meta
 
 
 def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                       max_layers: int | None = None,
                       max_window: int = MAX_WINDOW, group_n: int = 512,
-                      requant: str = "exact"):
+                      requant: str = "exact", use_offsets: bool = True,
+                      use_taps: bool = True):
     """Compile the flat prefix into a pallas_call.
 
     requant="exact" (default) keeps the engine's bit-exact f32 recipe;
     "fixed" uses the integer (M, S) epilogue of core/fixedpoint.py
-    inside the hot kernel (<=1 output LSB vs exact; ~2x the VPU ops on
+    inside the hot kernel (<=1 output LSB vs exact; more VPU ops on
     TPU, so it exists for integer-runtime parity, not speed -- measured
-    in docs/PERFORMANCE.md).
+    cost recorded in docs/PERFORMANCE.md "Fixed-point epilogue").
 
     Returns (flat_fn, n_layers, meta): flat_fn(xq[B, in_lanes] int8) ->
-    int8 [B, out_lanes], or None if not packable.
+    int8 [B, out_lanes_p] (slice [out_off : out_off+out_lanes]), or
+    None if not packable.
     """
     plan = plan_flat(graph, max_layers=max_layers, max_window=max_window,
-                     group_n=group_n)
+                     group_n=group_n, use_offsets=use_offsets,
+                     use_taps=use_taps)
     if plan is None:
         return None
     ops, n_layers, meta = plan
@@ -293,7 +642,15 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
 
     for op in ops:
         op._m_idx = [add_const(m) for m in op.mats]
-        if requant == "fixed":
+        op._t_idx = [add_const(p) for p in op.tap_planes]
+        if op.kind == "softmax":
+            op._sm_idx = add_const(op.sm_mask)
+            continue
+        if op.epi == "pool":
+            op._r_idx = add_const(op.r_plane)
+            op._b_idx = add_const(op.bias_plane)
+            op._c_idx = add_const(op.c1_plane)
+        elif requant == "fixed":
             op._db_idx = add_const(op.db_plane)
             op._fm_idx = add_const(op.m_plane)
             op._is_idx = add_const(op.inv2s_plane)
@@ -302,8 +659,9 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
             op._b_idx = add_const(op.bias_plane)
             op._c_idx = add_const(op.c1_plane)
 
-    in_lanes, out_lanes = meta["in_lanes"], meta["out_lanes"]
-    scratch_lanes = max(op.lanes_out for op in ops[:-1]) if len(ops) > 1 else LANE
+    in_lanes_p, out_lanes_p = meta["in_lanes_p"], meta["out_lanes_p"]
+    scratch_lanes = (max(op.lanes_out_p for op in ops[:-1])
+                     if len(ops) > 1 else LANE)
 
     def kernel(x_ref, *refs):
         # ref order: const inputs, then outputs, then scratch
@@ -313,7 +671,32 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
         src = x_ref
         for li, op in enumerate(ops):
             dst = out_ref if li == len(ops) - 1 else (s0 if li % 2 == 0 else s1)
-            if requant == "fixed":
+            if op.kind == "softmax":
+                # reference R10 (src/ops/softmax.rs:36): e = f32(q)*in_s
+                # (NO zp subtraction, by design); masked exp, all-lane
+                # total via an f32 MXU dot against ones
+                mref = crefs[op._sm_idx]
+                x8 = src[:, 0:LANE]
+                e = x8.astype(jnp.float32) * np.float32(op.sm_in_scale)
+                ex = jnp.exp(e) * mref[0:1, :]
+                # all-lane total: cross-lane f32 sum (exact -- the
+                # masked lanes contribute 0.0, so any association gives
+                # exactly the sum of the real lanes; an MXU f32 dot is
+                # NOT exact here, its default precision is bf16 passes)
+                total = jnp.sum(ex, axis=1, keepdims=True)
+                y = (ex / total / np.float32(op.sm_out_scale)
+                     + np.float32(op.out_zp))
+                y = lax.round(y, lax.RoundingMethod.AWAY_FROM_ZERO)
+                y = jnp.clip(y, -128.0, 127.0)
+                dst[:, 0:LANE] = y.astype(jnp.int8)
+                src = dst
+                continue
+            mode = op.epi if op.epi == "pool" else requant
+            if mode == "pool":
+                rref = crefs[op._r_idx]
+                bref = crefs[op._b_idx]
+                cref = crefs[op._c_idx]
+            elif mode == "fixed":
                 dbref = crefs[op._db_idx]
                 fmref = crefs[op._fm_idx]
                 isref = crefs[op._is_idx]
@@ -334,7 +717,18 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                 return out_lo, ncols, acc
 
             def emit_requant(out_lo, ncols, acc):
-                if requant == "fixed":
+                if mode == "pool":
+                    # reference R9: y = roundf(C0 * (recip*f32(sum)) + C1)
+                    t = (rref[0:1, out_lo : out_lo + ncols]
+                         * acc.astype(jnp.float32))
+                    y = (cref[0:1, out_lo : out_lo + ncols] * t
+                         + bref[0:1, out_lo : out_lo + ncols])
+                    y = lax.round(y, lax.RoundingMethod.AWAY_FROM_ZERO)
+                    y = jnp.clip(y, max(op.clip_lo, -128.0),
+                                 min(op.clip_hi, 127.0))
+                    dst[:, out_lo : out_lo + ncols] = y.astype(jnp.int8)
+                    return
+                if mode == "fixed":
                     # integer (M, S) epilogue (core/fixedpoint.py):
                     # y = sign(p)*floor(|p|*2**-S + 0.5) + out_zp
                     p = ((acc.astype(jnp.float32)
@@ -355,38 +749,63 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                 # else: the f32->int8 cast saturates in hardware (probed)
                 dst[:, out_lo : out_lo + ncols] = y.astype(jnp.int8)
 
-            # software-pipeline: group g+1's MXU dots are emitted before
-            # group g's VPU requant so the two units can dual-issue
-            pending = None
-            for out_lo, parts in op.groups:
-                ready = emit_dots(out_lo, parts)
+            if op.kind == "taps":
+                # VPU shift-MAC dw: per aligned output span, sum the
+                # tap slices against edge-masked weight planes (a tap
+                # is skipped outside its safe range, where its plane is
+                # provably zero -- see _try_taps)
+                cover = sorted({lo for lo, _ in op.tap_ranges}
+                               | {hi for _, hi in op.tap_ranges})
+                for a, b in zip(cover, cover[1:]):
+                    acc = None
+                    for shift, pidx, (lo, hi) in zip(op.taps, op._t_idx,
+                                                     op.tap_ranges):
+                        if lo > a or hi < b:
+                            continue
+                        pref = crefs[pidx]
+                        sl = src[:, a + shift : b + shift].astype(jnp.int32)
+                        term = sl * pref[0:1, a:b]
+                        acc = term if acc is None else acc + term
+                    if acc is not None:
+                        emit_requant(a, b - a, acc)
+            else:
+                # software-pipeline: group g+1's MXU dots are emitted
+                # before group g's VPU requant so the units can overlap
+                pending = None
+                for out_lo, parts in op.groups:
+                    ready = emit_dots(out_lo, parts)
+                    if pending is not None:
+                        emit_requant(*pending)
+                    pending = ready
                 if pending is not None:
                     emit_requant(*pending)
-                pending = ready
-            emit_requant(*pending)
             src = dst
 
     def flat_fn(xq):
         b = xq.shape[0]
         if b % tb:
             raise ValueError(f"batch {b} not divisible by flat tile {tb}")
-        in_specs = [pl.BlockSpec((tb, in_lanes), lambda i: (i, 0),
+        in_specs = [pl.BlockSpec((tb, in_lanes_p), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)]
         for carr in consts:
             zeros = (0,) * carr.ndim
             in_specs.append(pl.BlockSpec(carr.shape, lambda i, z=zeros: z,
                                          memory_space=pltpu.VMEM))
+        xp = xq
+        if meta["in_off"] or in_lanes_p != meta["in_lanes"]:
+            xp = jnp.pad(xq, ((0, 0), (meta["in_off"],
+                                       in_lanes_p - meta["in_lanes"] - meta["in_off"])))
         return pl.pallas_call(
             kernel,
             grid=(b // tb,),
-            out_shape=jax.ShapeDtypeStruct((b, out_lanes), jnp.int8),
+            out_shape=jax.ShapeDtypeStruct((b, out_lanes_p), jnp.int8),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((tb, out_lanes), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((tb, out_lanes_p), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((tb, scratch_lanes), jnp.int8),
                             pltpu.VMEM((tb, scratch_lanes), jnp.int8)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
             interpret=interpret,
-        )(xq, *consts)
+        )(xp, *consts)
 
     return flat_fn, n_layers, meta

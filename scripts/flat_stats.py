@@ -26,29 +26,34 @@ for i, a in enumerate(sys.argv):
     if a == "--group-n":
         group_n = int(sys.argv[i + 1])
 
+no_opt = "--baseline" in sys.argv
+
 graph = parse(path)
-plan = plan_flat(graph, group_n=group_n)
+plan = plan_flat(graph, group_n=group_n, use_offsets=not no_opt,
+                 use_taps=not no_opt)
 if plan is None:
     sys.exit(f"{path}: not flat-packable")
 ops, n_layers, meta = plan
 
-print(f"{path}: {n_layers} layers planned, group_n={group_n}")
-print(f"{'L':>3} {'kind':<22} {'lanes':>7} {'groups':>6} {'mats':>5} "
-      f"{'Kavg':>6} {'slots/sample':>13} {'slots/lane':>10}")
+print(f"{path}: {n_layers} layers planned, group_n={group_n}"
+      f"{' (baseline: no offsets/taps)' if no_opt else ''}")
+print(f"{'L':>3} {'kind':<25} {'off':>8} {'lanes':>7} {'groups':>6} "
+      f"{'mats':>5} {'Kavg':>6} {'slots/sample':>13} {'slots/lane':>10}")
 tot_slots = tot_lanes = 0
-for li, (op, layer) in enumerate(zip(ops, graph.layers)):
-    slots = 0
-    ksum = 0
-    for out_lo, parts in op.groups:
-        n = op.mats[parts[0][1]].shape[1]
-        k_tot = sum(op.mats[cid].shape[0] for _, cid in parts)
-        slots += k_tot * n
-        ksum += k_tot
+for op in ops:
+    layer = graph.layers[op.layer_idx]
+    slots = op.slots()
+    ksum = sum(sum(op.mats[cid].shape[0] for _, cid in parts)
+               for _, parts in op.groups)
     kavg = ksum / max(1, len(op.groups))
     name = type(layer).__name__.replace("Layer", "")
     geom = getattr(layer, "geom", None)
     tag = (f"{name} {op.out_shape} s{geom.stride_rows}" if geom else name)
-    print(f"{li:>3} {tag:<22} {op.lanes_out:>7} {len(op.groups):>6} "
+    if op.kind == "taps":
+        tag = "VPU-" + tag
+    offs = f"{op.in_off}->{op.out_off}"
+    print(f"{op.layer_idx:>3} {tag:<25} {offs:>8} {op.lanes_out:>7} "
+          f"{len(op.groups):>6} "
           f"{len(op.mats):>5} {kavg:>6.0f} {slots:>13,} {slots // op.lanes_out:>10}")
     tot_slots += slots
     tot_lanes += op.lanes_out

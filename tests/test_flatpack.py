@@ -27,13 +27,38 @@ def test_plan_covers_conv_prefix():
     ops, n_layers, meta = plan
     assert n_layers >= 7  # at least the C<64 hot prefix
     for op in ops:
-        assert op.lanes_out % 128 == 0
-        # every output chunk is covered exactly once by the groups
+        assert op.lanes_out_p % 128 == 0
+        if op.kind == "softmax":
+            assert op.sm_mask.sum() == op.lanes_out
+            continue
+        if op.kind == "taps":
+            # every real output lane inside some tap span; center tap
+            # covers the whole padded buffer
+            assert (0, op.lanes_out_p) in op.tap_ranges
+            continue
+        # every chunk holding a real output lane is covered exactly
+        # once by the groups (dead padding chunks may be skipped)
         covered = sorted((out_lo, out_lo + op.mats[parts[0][1]].shape[1])
                          for out_lo, parts in op.groups)
-        assert covered[0][0] == 0 and covered[-1][1] == op.lanes_out
+        real_lo = (op.out_off // 128) * 128
+        real_hi = -(-(op.out_off + op.lanes_out) // 128) * 128
+        assert covered[0][0] <= real_lo and covered[-1][1] >= real_hi
         for (a, b), (c, d) in zip(covered, covered[1:]):
             assert b == c
+
+
+def test_plan_phase_offsets_cut_mxu_slots():
+    """Round-3 lever: cost-driven per-edge lane offsets align dw
+    windows to chunk boundaries, and VPU tap ops take the C%128==0 dw
+    layers off the MXU entirely.  Guard the win statically."""
+    graph = parse(PERSON)
+    base = plan_flat(graph, use_offsets=False, use_taps=False)
+    new = plan_flat(graph)
+    slots_base = sum(op.slots() for op in base[0])
+    slots_new = sum(op.slots() for op in new[0])
+    assert slots_new < 0.75 * slots_base, (slots_new, slots_base)
+    assert any(op.kind == "taps" for op in new[0])
+    assert any(op.in_off != op.out_off for op in new[0])
 
 
 def test_plan_rejects_non_conv_start():
@@ -60,14 +85,16 @@ def test_plan_oracle_first_layers():
     want = np.asarray(depthwise_conv_2d_accumulate_patches(
         jnp.asarray(x), jnp.asarray(layer.weights), layer.geom,
         layer.in_q.zp0, np.zeros(layer.weights.shape[2], np.int32)))
-    x2 = x.reshape(2, -1).astype(np.int32)
-    got = np.zeros((2, op.lanes_out), np.int32)
+    x2 = np.zeros((2, op.lanes_in_p), np.int32)
+    x2[:, op.in_off : op.in_off + op.lanes_in] = x.reshape(2, -1)
+    got = np.zeros((2, op.lanes_out_p), np.int32)
     for out_lo, parts in op.groups:
         for lo, cid in parts:
             m = op.mats[cid].astype(np.int32)
             got[:, out_lo : out_lo + m.shape[1]] += x2[:, lo : lo + m.shape[0]] @ m
     got += op.d_plane.astype(np.int32)
-    assert np.array_equal(got.reshape(want.shape), want)
+    real = got[:, op.out_off : op.out_off + op.lanes_out]
+    assert np.array_equal(real.reshape(want.shape), want)
 
 
 @pytest.mark.slow
