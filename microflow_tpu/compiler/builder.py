@@ -242,7 +242,7 @@ def apply_layer(layer, params: dict, x: jax.Array, backend: str = "xla") -> jax.
     raise TypeError(f"unknown layer {type(layer)}")
 
 
-BACKENDS = frozenset({"xla", "pallas", "fused", "hybrid", "flat", "packed"})
+BACKENDS = frozenset({"auto", "xla", "pallas", "fused", "hybrid", "flat", "packed"})
 
 
 def default_backend() -> str:
@@ -266,14 +266,17 @@ def default_backend() -> str:
       docs/PERFORMANCE.md).  Kept as a design witness only; excluded
       from the supported matrix and the parity invariant.
 
-    Default ``xla`` (override with env ``MFT_BACKEND``): measured order
-    on v5e is xla ~= flat > hybrid > pallas > packed > fused; xla stays
-    default because it needs no packability gate and its edge is within
-    run-to-run noise of flat.
+    Default ``auto`` (override with env ``MFT_BACKEND``): on TPU, packable
+    graphs get the flat whole-network kernel -- measured round 3 at
+    ~15-20% faster than the XLA path on person_detect (exact2 requant,
+    docs/PERFORMANCE.md "Round 3") -- and everything else falls back to
+    ``xla``, which needs no packability gate and remains the parity
+    oracle.  Measured order on v5e: flat > xla > hybrid > pallas >
+    packed > fused.
     """
     import os
 
-    backend = os.environ.get("MFT_BACKEND", "xla")
+    backend = os.environ.get("MFT_BACKEND", "auto")
     if backend not in BACKENDS:
         raise ValueError(
             f"MFT_BACKEND={backend!r} is not a known backend; "
@@ -307,22 +310,20 @@ class CompiledModel:
                 raise ValueError("graph is not packable; use backend='xla'")
             self._packed = res
             self._packed_tb = tb
-        if self.backend == "flat":
-            import os
-
-            from ..kernels.flatpack import build_flat_kernel
-
-            tb = int(os.environ.get("MFT_FLAT_TB", "256"))
-            ml = os.environ.get("MFT_FLAT_LAYERS")
-            mw = int(os.environ.get("MFT_FLAT_WINDOW", "2048"))
-            rq = os.environ.get("MFT_FLAT_REQUANT", "exact")
-            res = build_flat_kernel(graph, tb=tb,
-                                    max_layers=int(ml) if ml else None,
-                                    max_window=mw, requant=rq)
+        if self.backend == "auto":
+            # production default: the flat whole-network kernel when on
+            # TPU and the graph packs; the exact XLA ops otherwise
+            self.backend = "xla"
+            if jax.default_backend() == "tpu":
+                res = self._build_flat(graph)
+                if res is not None:
+                    self.backend = "flat"
+                    self._flat = res
+        elif self.backend == "flat":
+            res = self._build_flat(graph)
             if res is None:
                 raise ValueError("graph is not flat-packable; use backend='xla'")
             self._flat = res
-            self._flat_tb = tb
         if self.backend in ("fused", "hybrid"):
             from ..kernels.megakernel import (
                 build_fused_forward,
@@ -337,6 +338,45 @@ class CompiledModel:
         self.params = init_params(graph)
         self._jit_predict = jax.jit(self._predict_from_quantized)
         self._jit_inner = jax.jit(self._forward)
+
+    def _build_flat(self, graph: Graph):
+        """Build the flat whole-network kernel, auto-sizing the batch
+        tile to the VMEM budget; None if the graph doesn't pack."""
+        import os
+
+        from ..kernels.flatpack import LANE, build_flat_kernel, plan_flat
+
+        ml = os.environ.get("MFT_FLAT_LAYERS")
+        mw = int(os.environ.get("MFT_FLAT_WINDOW", "2048"))
+        rq = os.environ.get("MFT_FLAT_REQUANT", "exact2")
+        max_layers = int(ml) if ml else None
+        plan = plan_flat(graph, max_layers=max_layers, max_window=mw)
+        if plan is None:
+            return None
+        ops, _, meta = plan
+        tb_env = os.environ.get("MFT_FLAT_TB")
+        if tb_env:
+            tb = int(tb_env)
+        else:
+            consts = sum(m.nbytes for op in ops for m in op.mats)
+            consts += sum(p.nbytes for op in ops
+                          for p in (op.d_plane, op.bias_plane, op.c1_plane,
+                                    op.r_plane, op.sm_mask)
+                          if p is not None)
+            consts += sum(p.nbytes for op in ops for p in op.tap_planes)
+            scratch = max((op.lanes_out_p for op in ops[:-1]), default=LANE)
+            per_row = 2 * scratch + meta["in_lanes_p"] + meta["out_lanes_p"]
+            budget = 90 * 2**20 - consts
+            tb = 128
+            for cand in (512, 256):
+                if cand * per_row <= budget:
+                    tb = cand
+                    break
+        res = build_flat_kernel(graph, tb=tb, max_layers=max_layers,
+                                max_window=mw, requant=rq)
+        if res is not None:
+            self._flat_tb = tb
+        return res
 
     # --- traced bodies ---
 

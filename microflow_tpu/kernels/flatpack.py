@@ -175,7 +175,8 @@ def _layer_taps(layer, in_shape):
             (h_out, w_out, c_out))
 
 
-def _cluster_and_group(oo_p, ii_p, ww, lanes_out_p, max_window, group_n):
+def _cluster_and_group(oo_p, ii_p, ww, lanes_out_p, max_window, group_n,
+                       fuse_slack=1.05):
     """Window-cluster + greedy-fuse one layer's (padded-index) taps.
 
     Returns (groups, mats, slots) or None if any window exceeds
@@ -233,7 +234,7 @@ def _cluster_and_group(oo_p, ii_p, ww, lanes_out_p, max_window, group_n):
             ncl = clusters(ii_p[s:e])
             if (max(hi - lo for lo, hi in ncl) > max_window
                     or (cl_slots(ncl) * (g + 1)
-                        > 1.05 * (cl_slots(cl) * g + cl_slots(chunk_cl[j + g])))):
+                        > fuse_slack * (cl_slots(cl) * g + cl_slots(chunk_cl[j + g])))):
                 break
             cl = ncl
             g += 1
@@ -475,7 +476,8 @@ def _search_offsets(packed, use_offsets, use_taps, beam=4):
 
 def plan_flat(graph: Graph, max_layers: int | None = None,
               max_window: int = MAX_WINDOW, group_n: int = 512,
-              use_offsets: bool = True, use_taps: bool = True):
+              use_offsets: bool = True, use_taps: bool = True,
+              fuse_slack: float = 1.05):
     """Plan the maximal flat-packable prefix; None if < 2 layers pack."""
     packed = _pack_prefix(graph, max_layers)
     if packed is None:
@@ -534,7 +536,7 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
             op.taps, op.tap_planes, op.tap_ranges = tap_plan
         else:
             r = _cluster_and_group(oo + out_off, ii_p, ww, lanes_out_p,
-                                   max_window, group_n)
+                                   max_window, group_n, fuse_slack)
             if r is None:
                 break
             groups, mats, _slots = r
@@ -613,15 +615,25 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
 def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                       max_layers: int | None = None,
                       max_window: int = MAX_WINDOW, group_n: int = 512,
-                      requant: str = "exact", use_offsets: bool = True,
-                      use_taps: bool = True):
+                      requant: str = "exact2", use_offsets: bool = True,
+                      use_taps: bool = True, depth: int = 1,
+                      fuse_slack: float = 1.05):
     """Compile the flat prefix into a pallas_call.
 
-    requant="exact" (default) keeps the engine's bit-exact f32 recipe;
-    "fixed" uses the integer (M, S) epilogue of core/fixedpoint.py
-    inside the hot kernel (<=1 output LSB vs exact; more VPU ops on
-    TPU, so it exists for integer-runtime parity, not speed -- measured
-    cost recorded in docs/PERFORMANCE.md "Fixed-point epilogue").
+    requant modes (per-element epilogue; measured costs in
+    docs/PERFORMANCE.md "Round 3"):
+
+    * "exact2" (default) -- bit-exact f32 recipe with round-away folded
+      into the truncating saturating f32->int8 cast via
+      trunc(y + copysign(0.5, y)) (cast semantics probed on v5e,
+      scripts/probe_cast.py); ~1.1 ms/batch cheaper than "exact".
+    * "exact" -- the same algebra through lax.round(AWAY_FROM_ZERO);
+      kept as the straight-line transcription of the reference recipe.
+    * "fixed" -- the integer (M, S) epilogue of core/fixedpoint.py
+      (<=2 output LSB vs exact; +17% runtime -- exists for
+      integer-runtime parity, not speed).
+    * "raw" / "noround" -- measurement-only (NOT bit-exact) epilogues
+      used to attribute MXU vs VPU cost in situ.
 
     Returns (flat_fn, n_layers, meta): flat_fn(xq[B, in_lanes] int8) ->
     int8 [B, out_lanes_p] (slice [out_off : out_off+out_lanes]), or
@@ -629,7 +641,7 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
     """
     plan = plan_flat(graph, max_layers=max_layers, max_window=max_window,
                      group_n=group_n, use_offsets=use_offsets,
-                     use_taps=use_taps)
+                     use_taps=use_taps, fuse_slack=fuse_slack)
     if plan is None:
         return None
     ops, n_layers, meta = plan
@@ -691,7 +703,12 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                 dst[:, 0:LANE] = y.astype(jnp.int8)
                 src = dst
                 continue
-            mode = op.epi if op.epi == "pool" else requant
+            if op.epi == "pool":
+                # pool keeps its own epilogue except under the pure-MXU
+                # "raw" measurement mode (it has no d/bias/c1 planes)
+                mode = "raw" if requant == "raw" else "pool"
+            else:
+                mode = requant
             if mode == "pool":
                 rref = crefs[op._r_idx]
                 bref = crefs[op._b_idx]
@@ -700,7 +717,7 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                 dbref = crefs[op._db_idx]
                 fmref = crefs[op._fm_idx]
                 isref = crefs[op._is_idx]
-            else:
+            elif mode != "raw":
                 dref = crefs[op._d_idx]
                 bref = crefs[op._b_idx]
                 cref = crefs[op._c_idx]
@@ -717,6 +734,20 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                 return out_lo, ncols, acc
 
             def emit_requant(out_lo, ncols, acc):
+                if mode == "raw":
+                    # measurement-only epilogue (NOT bit-exact): isolates
+                    # the VPU requant cost from the MXU dot cost in situ
+                    dst[:, out_lo : out_lo + ncols] = acc.astype(jnp.int8)
+                    return
+                if mode == "noround":
+                    # measurement-only (NOT bit-exact): full chain minus
+                    # the round-away step, pricing lax.round's VPU share
+                    q = acc + dref[0:1, out_lo : out_lo + ncols]
+                    y = (bref[0:1, out_lo : out_lo + ncols]
+                         + cref[0:1, out_lo : out_lo + ncols]
+                         * q.astype(jnp.float32))
+                    dst[:, out_lo : out_lo + ncols] = y.astype(jnp.int8)
+                    return
                 if mode == "pool":
                     # reference R9: y = roundf(C0 * (recip*f32(sum)) + C1)
                     t = (rref[0:1, out_lo : out_lo + ncols]
@@ -743,6 +774,23 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                 q = acc + dref[0:1, out_lo : out_lo + ncols]
                 y = (bref[0:1, out_lo : out_lo + ncols]
                      + cref[0:1, out_lo : out_lo + ncols] * q.astype(jnp.float32))
+                if mode in ("exact2", "exact3"):
+                    # round-away via the trunc identity:
+                    # round_away(y) = trunc(y + copysign(0.5, y)), and
+                    # Mosaic's f32->int8 convert truncates toward zero
+                    # and saturates (scripts/probe_cast.py) -- so the
+                    # +-0.5 shift folds the round into the cast.  Exact:
+                    # clip(trunc(t), lo, hi) == trunc(clip(t, lo, hi))
+                    # for integral bounds.
+                    if mode == "exact3":
+                        t = y + jnp.where(y >= 0, np.float32(0.5),
+                                          np.float32(-0.5))
+                    else:
+                        t = y + jnp.copysign(np.float32(0.5), y)
+                    if op.clip_lo > -128.0 or op.clip_hi < 127.0:
+                        t = jnp.clip(t, op.clip_lo, op.clip_hi)
+                    dst[:, out_lo : out_lo + ncols] = t.astype(jnp.int8)
+                    return
                 y = lax.round(y, lax.RoundingMethod.AWAY_FROM_ZERO)
                 if op.clip_lo > -128.0 or op.clip_hi < 127.0:
                     y = jnp.clip(y, op.clip_lo, op.clip_hi)
@@ -769,16 +817,16 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                     if acc is not None:
                         emit_requant(a, b - a, acc)
             else:
-                # software-pipeline: group g+1's MXU dots are emitted
-                # before group g's VPU requant so the units can overlap
-                pending = None
+                # software-pipeline: the MXU dots of the next `depth`
+                # groups are emitted before group g's VPU requant so
+                # the scheduler can overlap the units
+                pending = []
                 for out_lo, parts in op.groups:
-                    ready = emit_dots(out_lo, parts)
-                    if pending is not None:
-                        emit_requant(*pending)
-                    pending = ready
-                if pending is not None:
-                    emit_requant(*pending)
+                    pending.append(emit_dots(out_lo, parts))
+                    if len(pending) > depth:
+                        emit_requant(*pending.pop(0))
+                while pending:
+                    emit_requant(*pending.pop(0))
             src = dst
 
     def flat_fn(xq):

@@ -28,14 +28,38 @@ TB = int(args[2]) if len(args) > 2 else 256
 names = args[3:] or ["ot", "o-", "--"]
 
 graph = parse("models/person_detect.tflite")
+# variant key: offsets/taps pair, optionally ':<requant>' (exact, raw,
+# fixed), '@<tb>' overriding the batch tile, '#<depth>' the software
+# pipeline depth
 VAR = {"ot": (True, True), "o-": (True, False),
        "--": (False, False), "-t": (False, True)}
 
 for name in names:
-    use_off, use_taps = VAR[name]
+    spec = name
+    tb = TB
+    requant = "exact"
+    depth = 1
+    slack = 1.05
+    gn = 512
+    if "%" in spec:
+        spec, sl = spec.split("%")
+        slack = float(sl)
+    if "!" in spec:
+        spec, g_s = spec.split("!")
+        gn = int(g_s)
+    if "#" in spec:
+        spec, d_s = spec.split("#")
+        depth = int(d_s)
+    if "@" in spec:
+        spec, tb_s = spec.split("@")
+        tb = int(tb_s)
+    if ":" in spec:
+        spec, requant = spec.split(":")
+    use_off, use_taps = VAR[spec]
     t0 = time.time()
-    res = build_flat_kernel(graph, tb=TB, use_offsets=use_off,
-                            use_taps=use_taps)
+    res = build_flat_kernel(graph, tb=tb, use_offsets=use_off,
+                            use_taps=use_taps, requant=requant, depth=depth,
+                            group_n=gn, fuse_slack=slack)
     if res is None:
         print(f"{name}: no plan")
         continue

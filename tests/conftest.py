@@ -5,6 +5,10 @@ anywhere."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# pin the suite to the XLA backend: the production default ("auto")
+# builds the flat Pallas kernel on TPU, whose Mosaic compile takes
+# minutes per model; flat-specific tests opt in explicitly
+os.environ.setdefault("MFT_BACKEND", "xla")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -180,9 +180,15 @@ def test_unpackable_graph_raises_clear_error():
 def test_default_backend_env_override():
     from microflow_tpu.compiler.builder import default_backend
 
-    assert default_backend() == "xla"
-    os.environ["MFT_BACKEND"] = "pallas"
+    saved = os.environ.pop("MFT_BACKEND", None)
     try:
+        assert default_backend() == "auto"  # flat-on-TPU, xla elsewhere
+        os.environ["MFT_BACKEND"] = "pallas"
         assert default_backend() == "pallas"
+        os.environ["MFT_BACKEND"] = "falt"
+        with pytest.raises(ValueError, match="falt"):
+            default_backend()
     finally:
-        del os.environ["MFT_BACKEND"]
+        os.environ.pop("MFT_BACKEND", None)
+        if saved is not None:
+            os.environ["MFT_BACKEND"] = saved
