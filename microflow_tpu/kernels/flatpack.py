@@ -774,19 +774,19 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                 q = acc + dref[0:1, out_lo : out_lo + ncols]
                 y = (bref[0:1, out_lo : out_lo + ncols]
                      + cref[0:1, out_lo : out_lo + ncols] * q.astype(jnp.float32))
-                if mode in ("exact2", "exact3"):
+                if mode == "exact2":
                     # round-away via the trunc identity:
                     # round_away(y) = trunc(y + copysign(0.5, y)), and
                     # Mosaic's f32->int8 convert truncates toward zero
                     # and saturates (scripts/probe_cast.py) -- so the
                     # +-0.5 shift folds the round into the cast.  Exact:
                     # clip(trunc(t), lo, hi) == trunc(clip(t, lo, hi))
-                    # for integral bounds.
-                    if mode == "exact3":
-                        t = y + jnp.where(y >= 0, np.float32(0.5),
-                                          np.float32(-0.5))
-                    else:
-                        t = y + jnp.copysign(np.float32(0.5), y)
+                    # for integral bounds; at y = -0.0 the select picks
+                    # +0.5 where copysign picks -0.5, but both truncate
+                    # to 0.  A compare+select measures ~3% faster than
+                    # jnp.copysign on v5e (round-3 variants log).
+                    t = y + jnp.where(y >= 0, np.float32(0.5),
+                                      np.float32(-0.5))
                     if op.clip_lo > -128.0 or op.clip_hi < 127.0:
                         t = jnp.clip(t, op.clip_lo, op.clip_hi)
                     dst[:, out_lo : out_lo + ncols] = t.astype(jnp.int8)

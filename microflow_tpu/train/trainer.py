@@ -55,7 +55,11 @@ class TrainableModel(CompiledModel):
         skip_last_layer_train: bool = False,
         backend: str | None = None,
     ):
-        super().__init__(graph, backend=backend)
+        # training default is the per-layer XLA path: the train step is
+        # per-layer regardless of backend, and the "auto" default would
+        # spend minutes Mosaic-compiling a flat inference kernel the
+        # trainer rarely amortizes; pass backend="auto"/"flat" to opt in
+        super().__init__(graph, backend=backend or "xla")
         if loss not in ("mse", "crossentropy"):
             raise NotImplementedError(f"loss {loss!r}")
         self.loss = loss
