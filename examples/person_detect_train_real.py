@@ -67,7 +67,12 @@ def accuracy():
 print(f"after head reset: real correct {real_report()[0]}/2, "
       f"val accuracy {accuracy():.2f}")
 
-batch, lr, steps = 8, 0.05, 20
+# the conv head uses the reference's PLAIN rounded SGD
+# (round(lr*g/batch), update_layer.rs:170-199): with |g| ~ 50 per
+# accumulation, lr must be ~1.0 or every step rounds to zero (the
+# integer-SGD dead zone; the speech demo's FC head uses clip-norm SGD,
+# which rescales and tolerates small lr)
+batch, lr, steps = 8, 1.0, 25
 for step in range(steps):
     xq, gt, _ = make_batch(batch)
     model.predict_quantized_train(xq, gt, lr)

@@ -36,7 +36,9 @@ def latency_sweep():
     cases = [
         ("sine", (1,), (1024, 16384, 131072, 524288)),
         ("speech", (1960,), (256, 1024, 4096, 16384)),
-        ("person_detect", (96, 96, 1), (64, 256, 1024, 4096, 8192, 16384)),
+        # flat (the TPU default since round 3) Mosaic-compiles ~4 min
+        # per distinct batch shape; sweep the serving-relevant sizes
+        ("person_detect", (96, 96, 1), (1024, 4096, 6144, 8192)),
     ]
     rows = []
     for name, shape, batches in cases:
