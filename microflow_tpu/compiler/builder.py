@@ -368,7 +368,7 @@ class CompiledModel:
             per_row = 2 * scratch + meta["in_lanes_p"] + meta["out_lanes_p"]
             budget = 90 * 2**20 - consts
             tb = 128
-            for cand in (512, 256):
+            for cand in (768, 512, 256):
                 if cand * per_row <= budget:
                     tb = cand
                     break

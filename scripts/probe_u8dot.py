@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Probe Mosaic u8 x s8 -> i32 dot support + speed on the MXU (v5e).
 
-If the MXU takes u8 LHS natively, inter-layer activations can be stored
-zero-point-centered (x - in_zp fits u8 exactly when in_zp = -128), the
-d = -in_zp*colsum plane becomes 0, and the requant epilogue drops its
-i32 add pass (~0.35 ms/batch@6144).
+FINDING (2026-08-17, v5e): Mosaic compiles u8 LHS dots WITHOUT error
+but computes them WRONG -- u8 operand values >= 128 wrap as signed
+(single-dot check: max|d| = 732672 vs the numpy oracle).  u8-centered
+activation storage (which would zero the d plane and drop the requant
+i32 add, ~0.35 ms/batch) is therefore NOT usable; int8 stays the only
+trustworthy MXU operand dtype.  Speed was at parity before the
+correctness check (7.2 vs 6.5 T-MACs/s in the loop probe).
 """
 
 import os
