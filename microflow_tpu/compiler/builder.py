@@ -266,13 +266,15 @@ def default_backend() -> str:
       docs/PERFORMANCE.md).  Kept as a design witness only; excluded
       from the supported matrix and the parity invariant.
 
-    Default ``auto`` (override with env ``MFT_BACKEND``): on TPU, packable
-    graphs get the flat whole-network kernel -- measured round 3 at
-    ~15-20% faster than the XLA path on person_detect (exact2 requant,
-    docs/PERFORMANCE.md "Round 3") -- and everything else falls back to
-    ``xla``, which needs no packability gate and remains the parity
-    oracle.  Measured order on v5e: flat > xla > hybrid > pallas >
-    packed > fused.
+    Default ``auto`` (override with env ``MFT_BACKEND``): on TPU,
+    packable graphs WITH conv layers get the flat whole-network kernel
+    -- measured round 3 at ~15-20% faster than the XLA path on
+    person_detect and 1.87x on speech (exact2 requant,
+    docs/PERFORMANCE.md "Round 3") -- and everything else (incl.
+    pure-FC graphs like sine, where XLA is 1.8x faster than flat)
+    falls back to ``xla``, which needs no packability gate and remains
+    the parity oracle.  Measured order on v5e conv models: flat > xla >
+    hybrid > pallas > packed > fused.
     """
     import os
 
@@ -312,9 +314,17 @@ class CompiledModel:
             self._packed_tb = tb
         if self.backend == "auto":
             # production default: the flat whole-network kernel when on
-            # TPU and the graph packs; the exact XLA ops otherwise
+            # TPU and the graph packs; the exact XLA ops otherwise.
+            # Pure-FC graphs stay on XLA even when they pack: measured
+            # on v5e, flat wins 1.87x on speech (dw C=8 escapes NHWC
+            # tile padding) but loses 0.56x on sine (3 tiny matmuls,
+            # K=1 rows in 128-wide windows) -- scripts/ab_flat.py,
+            # docs/PERFORMANCE.md "Round 3".
             self.backend = "xla"
-            if jax.default_backend() == "tpu":
+            has_conv = any(
+                isinstance(l, (Conv2DLayer, DepthwiseConv2DLayer))
+                for l in graph.layers)
+            if jax.default_backend() == "tpu" and has_conv:
                 res = self._build_flat(graph)
                 if res is not None:
                     self.backend = "flat"

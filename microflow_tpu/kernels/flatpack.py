@@ -175,12 +175,32 @@ def _layer_taps(layer, in_shape):
             (h_out, w_out, c_out))
 
 
+def _fc_taps(layer, in_shape):
+    """COO taps (out_lane, in_lane, weight) for FullyConnected (reference
+    R6, ``src/ops/fully_connected.rs``) on the flat index space: the
+    sample is already a flat lane vector, so FC is one dense dot.  With
+    w_zp == 0 the reference's 4-term decomposition collapses to
+    ``q = acc - C2`` and C2 = in_zp * colsum(W) is exactly the generic
+    ``d = -in_zp * colsum`` plane the conv epilogue already computes
+    from these taps (C3 = K * in_zp * w_zp = 0)."""
+    k, n = layer.weights.shape
+    if int(np.prod(in_shape)) != k:
+        return None
+    oo = np.tile(np.arange(n), k)
+    ii = np.repeat(np.arange(k), n)
+    ww = layer.weights.reshape(-1)
+    return oo, ii, ww, (n,)
+
+
 def _cluster_and_group(oo_p, ii_p, ww, lanes_out_p, max_window, group_n,
                        fuse_slack=1.05):
     """Window-cluster + greedy-fuse one layer's (padded-index) taps.
 
-    Returns (groups, mats, slots) or None if any window exceeds
-    ``max_window``.  Chunks with no taps (dead padding lanes) emit no
+    Returns (groups, mats, slots).  Windows wider than ``max_window``
+    are split into aligned <=``max_window`` pieces -- the group's parts
+    sum in the same i32 accumulator, so splitting is exact (this is how
+    wide-K layers like a 4000-input FullyConnected ride the same dot
+    machinery).  Chunks with no taps (dead padding lanes) emit no
     group; their requant planes are zero and downstream matrices never
     reference them."""
     order = np.argsort(oo_p, kind="stable")
@@ -192,14 +212,18 @@ def _cluster_and_group(oo_p, ii_p, ww, lanes_out_p, max_window, group_n,
     def clusters(i_any):
         """Gap-based window clustering of tap lanes: contiguous runs
         of occupied 128-chunks (gap >= 1 empty chunk splits -- one
-        window for pw, one per kernel row for dw).  Returns aligned
-        (lo, hi) windows."""
+        window for pw, one per kernel row for dw), each run split into
+        aligned <= max_window pieces.  Returns aligned (lo, hi)."""
         ch = np.unique(i_any // LANE)
         splits = np.where(np.diff(ch) > 1)[0]
         out = []
         start = 0
         for sp in list(splits) + [len(ch) - 1]:
-            out.append((int(ch[start]) * LANE, (int(ch[sp]) + 1) * LANE))
+            lo, hi = int(ch[start]) * LANE, (int(ch[sp]) + 1) * LANE
+            while hi - lo > max_window:
+                out.append((lo, lo + max_window))
+                lo += max_window
+            out.append((lo, hi))
             start = sp + 1
         return out
 
@@ -212,10 +236,7 @@ def _cluster_and_group(oo_p, ii_p, ww, lanes_out_p, max_window, group_n,
         if s == e:
             chunk_cl.append(None)
             continue
-        cl = clusters(ii_p[s:e])
-        if max(hi - lo for lo, hi in cl) > max_window:
-            return None
-        chunk_cl.append(cl)
+        chunk_cl.append(clusters(ii_p[s:e]))
 
     # greedy-fuse adjacent chunks into one (multi-window) dot group
     # while the fused clustered windows don't inflate MXU slots
@@ -232,9 +253,8 @@ def _cluster_and_group(oo_p, ii_p, ww, lanes_out_p, max_window, group_n,
         while j + g < nch and g < group_n // LANE and chunk_cl[j + g] is not None:
             s, e = bounds[j], bounds[j + g + 1]
             ncl = clusters(ii_p[s:e])
-            if (max(hi - lo for lo, hi in ncl) > max_window
-                    or (cl_slots(ncl) * (g + 1)
-                        > fuse_slack * (cl_slots(cl) * g + cl_slots(chunk_cl[j + g])))):
+            if (cl_slots(ncl) * (g + 1)
+                    > fuse_slack * (cl_slots(cl) * g + cl_slots(chunk_cl[j + g]))):
                 break
             cl = ncl
             g += 1
@@ -384,12 +404,13 @@ def _pool_taps(layer, in_shape):
 
 
 def _pack_prefix(graph: Graph, max_layers):
-    """Walk the packable layer chain: the conv/dw prefix plus (when it
-    reaches them) the AveragePool2D / head-conv / Reshape / Softmax
-    tail.  Returns [(kind, layer, in_shape, out_shape, oo, ii, ww)]."""
-    from ..compiler.ir import AveragePool2DLayer, ReshapeLayer, SoftmaxLayer
+    """Walk the packable layer chain: the conv/dw/fc compute ops plus
+    (when it reaches them) the AveragePool2D / Reshape / Softmax tail.
+    Returns [(kind, layer, in_shape, out_shape, oo, ii, ww)]."""
+    from ..compiler.ir import (AveragePool2DLayer, FullyConnectedLayer,
+                               ReshapeLayer, SoftmaxLayer)
 
-    if np.dtype(graph.input_dtype) != np.int8 or len(graph.input_shape) != 3:
+    if np.dtype(graph.input_dtype) != np.int8:
         return None
     in_shape = tuple(graph.input_shape)
     layers = []
@@ -411,6 +432,17 @@ def _pack_prefix(graph: Graph, max_layers):
             oo, ii, ww, out_shape = taps
             if int(np.prod(out_shape)) > MAX_LANES:
                 break
+            layers.append(("conv", layer, in_shape, out_shape, oo, ii, ww))
+            n_convs += 1
+        elif isinstance(layer, FullyConnectedLayer):
+            # the 4-term decomposition only collapses to the generic
+            # d-plane when w_zp == 0 (see _fc_taps)
+            if np.any(np.atleast_1d(layer.w_q.zero_point) != 0):
+                break
+            taps = _fc_taps(layer, in_shape)
+            if taps is None:
+                break
+            oo, ii, ww, out_shape = taps
             layers.append(("conv", layer, in_shape, out_shape, oo, ii, ww))
             n_convs += 1
         elif isinstance(layer, AveragePool2DLayer) and len(in_shape) == 3:
@@ -519,7 +551,7 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
             n = idx + 1
             continue
 
-        c_out = out_shape[2]
+        c_out = out_shape[-1]
         ii_p = ii + cur_off
 
         # VPU tap formulation (C % 128 == 0 stride-1 dw): zero MXU

@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Same-process A/B of backend='flat' vs 'xla' on person_detect (TPU).
+"""Same-process A/B of backend='flat' vs 'xla' on a bundled model (TPU).
 
 Chained-dispatch methodology per CLAUDE.md: warmup + host readback,
 then ITERS chained full-model dispatches (output bumps the next input)
 per segment, alternating xla/flat segments so clock ramp affects both
 equally.  Also asserts bit-parity first.  Usage: ab_flat.py [B] [ITERS]
-[reps]
+[reps] [model]
 """
 
 import os
@@ -20,16 +20,18 @@ import numpy as np
 
 from microflow_tpu import compile_tflite
 
-args = [int(a) for a in sys.argv[1:]]
-B = args[0] if args else 6144
-ITERS = args[1] if len(args) > 1 else 50
-REPS = args[2] if len(args) > 2 else 4
+args = sys.argv[1:]
+B = int(args[0]) if args else 6144
+ITERS = int(args[1]) if len(args) > 1 else 50
+REPS = int(args[2]) if len(args) > 2 else 4
+MODEL = args[3] if len(args) > 3 else "models/person_detect.tflite"
 
-xla = compile_tflite("models/person_detect.tflite", backend="xla")
-flat = compile_tflite("models/person_detect.tflite", backend="flat")
+xla = compile_tflite(MODEL, backend="xla")
+flat = compile_tflite(MODEL, backend="flat")
+IN_SHAPE = tuple(xla.graph.input_shape)
 
 rng = np.random.default_rng(0)
-xq0 = rng.integers(-128, 128, (4, 96, 96, 1), dtype=np.int8)
+xq0 = rng.integers(-128, 128, (4, *IN_SHAPE), dtype=np.int8)
 a = np.asarray(xla.predict_inner(xq0))
 b = np.asarray(flat.predict_inner(xq0))
 assert np.array_equal(a, b), f"PARITY FAIL max|d|={np.abs(a.astype(int) - b.astype(int)).max()}"
@@ -48,7 +50,7 @@ def chain_fn(model):
 
 chains = {"xla": (xla, chain_fn(xla)), "flat": (flat, chain_fn(flat))}
 xq = jax.device_put(jax.random.randint(
-    jax.random.PRNGKey(0), (B, 96, 96, 1), -128, 128, dtype=jnp.int8))
+    jax.random.PRNGKey(0), (B, *IN_SHAPE), -128, 128, dtype=jnp.int8))
 state = {}
 for name, (model, ch) in chains.items():
     t0 = time.time()

@@ -61,9 +61,53 @@ def test_plan_phase_offsets_cut_mxu_slots():
     assert any(op.in_off != op.out_off for op in new[0])
 
 
-def test_plan_rejects_non_conv_start():
-    graph = parse(os.path.join(MODELS, "sine.tflite"))
+def test_plan_covers_fc_graphs():
+    """Round-3 widening: FullyConnected layers pack as dense dot groups
+    (window-split at max_window), so the pure-FC sine graph and the
+    dw+fc speech graph plan to FULL coverage."""
+    for name, n_layers in (("sine.tflite", 3), ("speech.tflite", 4)):
+        graph = parse(os.path.join(MODELS, name))
+        plan = plan_flat(graph)
+        assert plan is not None, name
+        assert plan[1] == n_layers, (name, plan[1])
+
+
+def test_plan_rejects_non_int8_input():
+    import tempfile
+
+    from microflow_tpu.models import synth
+
+    path = os.path.join(tempfile.mkdtemp(), "u8.tflite")
+    synth.write(path, synth.uint8_mlp())
+    graph = parse(path)
     assert plan_flat(graph) is None
+
+
+def test_flat_interpret_fc_models():
+    """Interpret-mode bit-parity of the FC-extended flat kernel vs the
+    XLA layer chain on the two non-image bundled models (full-model
+    coverage incl. the 4000-wide speech FC split into two windows)."""
+    import jax.numpy as jnp
+
+    from microflow_tpu.compiler.builder import apply_layer, init_params
+    from microflow_tpu.kernels.flatpack import build_flat_kernel
+
+    rng = np.random.default_rng(29)
+    for name in ("sine.tflite", "speech.tflite"):
+        g = parse(os.path.join(MODELS, name))
+        params = init_params(g)
+        res = build_flat_kernel(g, tb=8, interpret=True)
+        assert res is not None, name
+        flat_fn, n, meta = res
+        assert n == len(g.layers), name
+        k = int(np.prod(g.input_shape))
+        xq = rng.integers(-128, 128, (8, k), dtype=np.int8)
+        want = jnp.asarray(xq).reshape(8, *g.input_shape)
+        for layer in g.layers[:n]:
+            want = apply_layer(layer, params, want, "xla")
+        off = meta["out_off"]
+        got = np.asarray(flat_fn(jnp.asarray(xq)))[:, off : off + meta["out_lanes"]]
+        assert np.array_equal(got, np.asarray(want).reshape(8, -1)), name
 
 
 def test_plan_oracle_first_layers():
@@ -156,25 +200,30 @@ def test_flat_interpret_synth_model(tmp_path):
     res = build_flat_kernel(g, tb=8, interpret=True)
     assert res is not None
     flat_fn, n, meta = res
-    assert n == 4  # the whole conv stack packs
+    assert n == 7  # conv stack + reshape/fc/softmax tail all pack
     params = init_params(g)
     rng = np.random.default_rng(23)
     xq = rng.integers(-128, 128, (8, 16, 16, 2), dtype=np.int8)
     want = jnp.asarray(xq)
     for layer in g.layers[:n]:
         want = apply_layer(layer, params, want, "xla")
-    got = flat_fn(jnp.asarray(xq).reshape(8, -1)).reshape(np.asarray(want).shape)
-    assert np.array_equal(np.asarray(got), np.asarray(want))
+    off = meta["out_off"]
+    got = np.asarray(flat_fn(jnp.asarray(xq).reshape(8, -1)))
+    got = got[:, off : off + meta["out_lanes"]]
+    assert np.array_equal(got, np.asarray(want).reshape(8, -1))
 
 
-def test_unpackable_graph_raises_clear_error():
-    """backend='flat'/'packed' on a non-conv graph fails at compile time
-    with an actionable message, not at first predict."""
-    path = os.path.join(MODELS, "sine.tflite")
+def test_unpackable_graph_raises_clear_error(tmp_path):
+    """backend='flat'/'packed' on an unpackable graph fails at compile
+    time with an actionable message, not at first predict."""
+    from microflow_tpu.models import synth
+
+    u8 = str(tmp_path / "u8.tflite")
+    synth.write(u8, synth.uint8_mlp())
     with pytest.raises(ValueError, match="flat-packable"):
-        compile_tflite(path, backend="flat")
+        compile_tflite(u8, backend="flat")
     with pytest.raises(ValueError, match="packable"):
-        compile_tflite(path, backend="packed")
+        compile_tflite(os.path.join(MODELS, "sine.tflite"), backend="packed")
 
 
 def test_default_backend_env_override():
