@@ -96,6 +96,19 @@ def update_weights_2d_float(weights_f32, grad_f32, batch_size: int, lr: float):
     return weights_f32 - jnp.float32(lr) * grad_f32 / jnp.float32(batch_size)
 
 
+def update_weights_2d_from_float(weights, grad_f32, w_scale: float, batch_size: int, lr: float):
+    """Plain SGD driven by a dequantized-domain f32 gradient (the e2e
+    completion of the reference's "unquantized" twin experiment — the
+    reference computes these gradients, ``gradient_fully_connected.rs:118-152``,
+    but its update call sites are commented out, ``:42-50``, so the step
+    form is undefined there).  The f32 gradient is converted onto the
+    int8 weight grid (divide by the weight scale) and then applied with
+    ``update_weights_2D``'s exact rounding/saturation form."""
+    step = jnp.float32(lr) * grad_f32 / (jnp.float32(batch_size) * jnp.float32(w_scale))
+    delta = _sat_cast_round(step, weights.dtype)
+    return saturating_sub_int(weights, delta)
+
+
 # update_weights_4D shares update_weights_2D's elementwise math
 # (shape-agnostic in JAX)
 update_weights_4d = update_weights_2d

@@ -54,6 +54,7 @@ class TrainableModel(CompiledModel):
         loss: str = "mse",
         skip_last_layer_train: bool = False,
         backend: str | None = None,
+        gradient_mode: str = "quantized",
     ):
         # training default is the per-layer XLA path: the train step is
         # per-layer regardless of backend, and the "auto" default would
@@ -71,6 +72,30 @@ class TrainableModel(CompiledModel):
         # loss reads the output of the last *backward* layer
         # (``lib.rs:209-215``)
         self.loss_index = self.backward_indices[-1] if self.backward_indices else None
+        # gradient_mode="float": end-to-end run of the reference's
+        # "unquantized" f32 gradient twins (gradient_fully_connected.rs:118-152,
+        # :198-232, :268-299).  The reference computes those twins but its
+        # orchestration is commented out (:42-50) and FC-only, so this
+        # mode is our completion of that experiment: f32 gradients flow
+        # through the suffix, FC weight grads accumulate in f32, and the
+        # update converts them onto the int8 grid (optimizer.
+        # update_weights_2d_from_float).  Scope matches the reference:
+        # FC (+shape-only reshape/softmax) suffixes only.
+        if gradient_mode not in ("quantized", "float"):
+            raise ValueError(f"gradient_mode {gradient_mode!r}")
+        self.gradient_mode = gradient_mode
+        if gradient_mode == "float":
+            for i in self.backward_indices:
+                if not isinstance(
+                    graph.layers[i],
+                    (FullyConnectedLayer, ReshapeLayer, SoftmaxLayer),
+                ):
+                    raise NotImplementedError(
+                        "gradient_mode='float' covers FC suffixes only (the "
+                        "reference's unquantized twins exist only for FC, "
+                        "gradient_fully_connected.rs:118-299); layer "
+                        f"{i} is {type(graph.layers[i]).__name__}"
+                    )
         self.grads = self._init_grads()
         self._jit_train = jax.jit(self._train_step)
         self._jit_update = jax.jit(self._update_step, static_argnames=("batch_size", "lr"))
@@ -83,8 +108,11 @@ class TrainableModel(CompiledModel):
             if layer.index not in self.backward_indices:
                 continue
             if isinstance(layer, FullyConnectedLayer):
+                wg_dtype = (
+                    jnp.float32 if self.gradient_mode == "float" else jnp.int32
+                )
                 grads[f"layer{layer.index}"] = {
-                    "weights_gradient": jnp.zeros(layer.weights.shape, jnp.int32),
+                    "weights_gradient": jnp.zeros(layer.weights.shape, wg_dtype),
                     "c0_gradient": jnp.zeros(layer.c0.shape, jnp.float32),
                 }
             elif isinstance(layer, Conv2DLayer):
@@ -127,6 +155,14 @@ class TrainableModel(CompiledModel):
                 in_scale=loss_layer.out_q.scale0,
             )
 
+        if self.gradient_mode == "float":
+            # the dequantized-domain twin of the initial gradient: both
+            # losses' quantized gradients are (pred - target) deltas on
+            # the loss tensor's grid, so scaling by that grid's step
+            # size is the exact f32 counterpart
+            loss_layer = graph.layers[self.loss_index]
+            g = jnp.float32(loss_layer.out_q.scale0) * f32(g)
+
         # backward in reverse layer order (T1's token prepending)
         new_grads = dict(grads)
         for layer in reversed([graph.layers[i] for i in self.backward_indices]):
@@ -134,12 +170,22 @@ class TrainableModel(CompiledModel):
             x_in, y_out = acts[layer.index]
             if isinstance(layer, FullyConnectedLayer):
                 x2 = reshape_2d(x_in) if layer.flatten_input else x_in
-                dW, bias_grad, g = gradients.fc_backward(
+                backward = (
+                    gradients.fc_backward_float
+                    if self.gradient_mode == "float"
+                    else gradients.fc_backward
+                )
+                dW, bias_grad, g = backward(
                     layer, x2, y_out, params[f"layer{layer.index}"]["weights"], g
                 )
-                lg["weights_gradient"] = optimizer.accumulate_gradient_2d(
-                    dW, lg["weights_gradient"]
-                )
+                if self.gradient_mode == "float":
+                    # plain f32 accumulation (the twin of the integer
+                    # path's saturating accumulate_gradient_2D)
+                    lg["weights_gradient"] = lg["weights_gradient"] + dW
+                else:
+                    lg["weights_gradient"] = optimizer.accumulate_gradient_2d(
+                        dW, lg["weights_gradient"]
+                    )
                 lg["c0_gradient"] = lg["c0_gradient"] + bias_grad
                 if layer.flatten_input:
                     g = g.reshape(x_in.shape)
@@ -209,9 +255,18 @@ class TrainableModel(CompiledModel):
                 continue
             p, g = dict(new_params[key]), dict(new_grads[key])
             if isinstance(layer, FullyConnectedLayer):
-                p["weights"] = optimizer.update_weights_clip_norm_2d(
-                    p["weights"], g["weights_gradient"], batch_size, lr
-                )
+                if self.gradient_mode == "float":
+                    p["weights"] = optimizer.update_weights_2d_from_float(
+                        p["weights"],
+                        g["weights_gradient"],
+                        layer.w_q.scale0,
+                        batch_size,
+                        lr,
+                    )
+                else:
+                    p["weights"] = optimizer.update_weights_clip_norm_2d(
+                        p["weights"], g["weights_gradient"], batch_size, lr
+                    )
                 p["c0"] = optimizer.update_weights_2d_float(
                     p["c0"], g["c0_gradient"], batch_size, lr
                 )
@@ -272,10 +327,12 @@ def compile_tflite_train(
     skip_last_layer_train: bool = False,
     name: str | None = None,
     backend: str | None = None,
+    gradient_mode: str = "quantized",
 ) -> TrainableModel:
     """Front door mirroring ``#[model(path, n, loss, skip)]``."""
     from ..frontend.parser import parse
 
     return TrainableModel(
-        parse(path, name=name), num_train_layers, loss, skip_last_layer_train, backend=backend
+        parse(path, name=name), num_train_layers, loss, skip_last_layer_train,
+        backend=backend, gradient_mode=gradient_mode,
     )

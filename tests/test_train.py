@@ -253,3 +253,72 @@ def test_update_weights_perc_4d_degenerate_leftover_slots():
     g2 = jnp.array([[0, 0], [0, 60]], jnp.int32).reshape(1, 2, 2, 1)
     out2 = optimizer.update_weights_perc_4d(w, g2, 2, 1.0, perc=3)
     assert np.array_equal(np.asarray(out2).reshape(-1), [10, -10, 20, -25])
+
+
+# --- gradient_mode="float": e2e run of the unquantized twins ---------------
+
+
+def test_float_mode_grads_match_function_twins():
+    """One float-mode train step on sine's last FC layer accumulates
+    exactly what composing fc_backward_float by hand produces."""
+    from microflow_tpu.compiler.builder import apply_layer
+    from microflow_tpu.core.numerics import f32
+
+    m = compile_tflite_train(
+        os.path.join(MODELS, "sine.tflite"), 1, "mse", False,
+        name="sine", gradient_mode="float",
+    )
+    rng = np.random.default_rng(3)
+    xs = rng.uniform(0, 2 * np.pi, (8, 1)).astype(np.float32)
+    xq = m.quantize_input(xs)
+    gt_q = m.quantize_target(xs / 4)
+    m.predict_quantized_train(xq, gt_q)
+
+    # hand path: forward to the last layer, f32 loss grad, float twin
+    x = jnp.asarray(xq)
+    for layer in m.graph.layers[:-1]:
+        x = apply_layer(layer, m.params, x, "xla")
+    last = m.graph.layers[-1]
+    out = apply_layer(last, m.params, x, "xla")
+    g = jnp.float32(last.out_q.scale0) * f32(losses.mse_grad(out, jnp.asarray(gt_q)))
+    dW, bias, _ = gradients.fc_backward_float(
+        last, x, out, m.params[f"layer{last.index}"]["weights"], g
+    )
+    lg = m.grads[f"layer{last.index}"]
+    assert lg["weights_gradient"].dtype == jnp.float32
+    assert np.allclose(np.asarray(lg["weights_gradient"]), np.asarray(dW))
+    assert np.allclose(np.asarray(lg["c0_gradient"]), np.asarray(bias))
+
+
+def test_float_mode_sine_converges():
+    """The sine retarget task also converges under the f32-twin mode.
+    The natural lr differs from the integer path's 0.01: float-twin
+    gradients live on the dequantized scale (~out_scale smaller), and
+    the update has no clip-norm rescaling."""
+    m = compile_tflite_train(
+        os.path.join(MODELS, "sine.tflite"), 1, "mse", False,
+        name="sine", gradient_mode="float",
+    )
+    rng = np.random.default_rng(0)
+    lr, batch = 20.0, 64
+
+    def mse():
+        xs = rng.uniform(0, 2 * np.pi, (256, 1)).astype(np.float32)
+        return float(np.mean((np.asarray(m.predict(xs)) - xs / 4) ** 2))
+
+    before = mse()
+    for _ in range(60):
+        xs = rng.uniform(0, 2 * np.pi, (batch, 1)).astype(np.float32)
+        m.predict_train(xs, m.quantize_target(xs / 4), lr)
+        m.update_layers(batch, lr)
+    after = mse()
+    assert after < before / 3, (before, after)
+
+
+def test_float_mode_rejects_conv_suffix():
+    """Scope matches the reference: twins exist only for FC."""
+    with pytest.raises(NotImplementedError, match="FC suffixes only"):
+        compile_tflite_train(
+            os.path.join(MODELS, "person_detect.tflite"), 5, "crossentropy",
+            True, name="person_detect", gradient_mode="float",
+        )
