@@ -3,15 +3,23 @@ retarget the sine model's last FC layer to approximate y = x / 4.
 
 The reference runs 500 epochs x 1000 samples at batch 64 one sample at a
 time; here each batch is a single TPU-friendly training-step call.
+
+Pass ``--float`` to train on the reference's unquantized f32 gradient
+twins instead of the integer path (gradient_mode="float"; the twins
+live on the dequantized scale, so the natural lr is much larger).
 """
+
+import sys
 
 import numpy as np
 
 from microflow_tpu import models
 
-model = models.sine_trainable()
+use_float = "--float" in sys.argv[1:]
+model = models.sine_trainable(gradient_mode="float" if use_float else "quantized")
 rng = np.random.default_rng(0)
-epochs, steps_per_epoch, batch, lr = 20, 16, 64, 0.01
+epochs, steps_per_epoch, batch = 20, 16, 64
+lr = 20.0 if use_float else 0.01
 
 
 def eval_mse() -> float:

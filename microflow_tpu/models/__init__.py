@@ -38,15 +38,19 @@ def person_detect(backend: str | None = None) -> CompiledModel:
     return compile_tflite(model_path("person_detect"), name="person_detect", backend=backend)
 
 
-def sine_trainable(backend: str | None = None) -> TrainableModel:
+def sine_trainable(backend: str | None = None,
+                   gradient_mode: str = "quantized") -> TrainableModel:
     """Reference ``examples/sine_train.rs`` configuration."""
-    return compile_tflite_train(model_path("sine"), 1, "mse", False, name="sine", backend=backend)
+    return compile_tflite_train(model_path("sine"), 1, "mse", False, name="sine",
+                                backend=backend, gradient_mode=gradient_mode)
 
 
-def speech_trainable(backend: str | None = None) -> TrainableModel:
+def speech_trainable(backend: str | None = None,
+                     gradient_mode: str = "quantized") -> TrainableModel:
     """Reference ``examples/speech_train.rs`` configuration."""
     return compile_tflite_train(
-        model_path("speech"), 2, "crossentropy", True, name="speech", backend=backend
+        model_path("speech"), 2, "crossentropy", True, name="speech",
+        backend=backend, gradient_mode=gradient_mode,
     )
 
 
