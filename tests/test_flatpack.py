@@ -141,8 +141,19 @@ def test_plan_oracle_first_layers():
     assert np.array_equal(real.reshape(want.shape), want)
 
 
+def _require_compiled_pallas():
+    """The compiled (non-interpret) flat kernel needs a real TPU; on the
+    CPU backend Pallas only supports interpret mode (covered by the
+    interpret-mode twins above)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("compiled Pallas kernels need TPU")
+
+
 @pytest.mark.slow
 def test_flat_parity_person_detect():
+    _require_compiled_pallas()
     rng = np.random.default_rng(13)
     ref = compile_tflite(PERSON, backend="xla")
     os.environ["MFT_FLAT_TB"] = "32"
@@ -166,6 +177,7 @@ def test_flat_fixed_requant_within_1lsb():
     """The integer (M, S) epilogue (core/fixedpoint.py) living inside
     the hot kernel stays within 1 output LSB of the exact path at every
     flat-kernel boundary -- checked on the full-model int8 outputs."""
+    _require_compiled_pallas()
     rng = np.random.default_rng(17)
     ref = compile_tflite(PERSON, backend="xla")
     os.environ["MFT_FLAT_TB"] = "32"
