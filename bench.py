@@ -60,11 +60,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent executable cache: the flat whole-network kernel costs
+    # ~4-8 min of (remote) compile; caching keyed on HLO makes repeat
+    # bench runs start in seconds.  Opt out with MFT_NO_COMPILE_CACHE=1.
+    import os
+    if not os.environ.get("MFT_NO_COMPILE_CACHE"):
+        from microflow_tpu.utils import enable_compile_cache
+
+        enable_compile_cache()
+
     from microflow_tpu import compile_tflite
     from microflow_tpu.utils.flops import macs_per_inference
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    import os
     model_name = os.path.splitext(os.path.basename(args.model))[0]
     model = compile_tflite(args.model, name=model_name, backend=args.backend)
     macs = macs_per_inference(model.graph)
