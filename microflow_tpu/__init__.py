@@ -9,7 +9,9 @@ mesh -- where the reference runs one sample at a time on an MCU core.
 
 from .compiler import CompiledModel, build, compile_tflite
 from .frontend import parse
+from .train.trainer import TrainableModel, compile_tflite_train
 
 __version__ = "0.1.0"
 
-__all__ = ["CompiledModel", "build", "compile_tflite", "parse"]
+__all__ = ["CompiledModel", "TrainableModel", "build", "compile_tflite",
+           "compile_tflite_train", "parse"]

@@ -71,6 +71,57 @@ def cmd_bench(args):
     sys.exit(subprocess.call(cmd))
 
 
+def cmd_train(args):
+    """On-device training loop over .npy data (or a built-in retarget
+    demo), mirroring the reference's train examples
+    (``examples/sine_train.rs:30-58``: epochs of predict_train +
+    update_layers, then an eval pass)."""
+    import numpy as np
+
+    from . import compile_tflite_train
+    from .utils import checkpoint
+
+    m = compile_tflite_train(
+        args.model, num_train_layers=args.layers, loss=args.loss,
+        skip_last_layer_train=args.skip_last, backend=args.backend,
+        gradient_mode=args.gradient_mode,
+    )
+    if args.load:
+        m.params = checkpoint.load_params(args.load)
+
+    if bool(args.x) != bool(args.y):
+        raise SystemExit("--x and --y must be given together")
+
+    rng = np.random.default_rng(args.seed)
+    if args.x:
+        x = np.load(args.x).astype(np.float32)
+        x = x.reshape(-1, *m.graph.input_shape)
+        y = np.load(args.y).astype(np.float32)
+        y = y.reshape(len(x), *np.asarray(m.graph.output_shape).tolist())
+    else:
+        # Retarget demo: fit 0.5x the model's own initial predictions on
+        # a fixed random dataset (works for any graph; loss must drop).
+        x = rng.uniform(0.0, 1.0, (256, *m.graph.input_shape)).astype(np.float32)
+        y = 0.5 * np.asarray(m.predict(x))
+        print("no --x/--y given: retarget demo (fit 0.5 * initial predictions)")
+
+    gt = np.asarray(m.quantize_target(y))
+    n = len(x)
+    for epoch in range(args.epochs):
+        order = rng.permutation(n)
+        losses = []
+        for s in range(0, n - args.batch + 1, args.batch):
+            idx = order[s:s + args.batch]
+            out = np.asarray(m.predict_train(x[idx], gt[idx], args.lr))
+            losses.append(float(np.mean((out - y[idx].reshape(out.shape)) ** 2)))
+            m.update_layers(len(idx), args.lr)
+        print(f"epoch {epoch:>3}  mse {np.mean(losses):.6f}")
+
+    if args.save:
+        checkpoint.save_params(args.save, m.params)
+        print(f"saved params -> {args.save}")
+
+
 def cmd_synth(args):
     from .models import synth
 
@@ -108,6 +159,26 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "fused", "hybrid", "packed", "flat"])
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("train", help="run an on-device training loop")
+    p.add_argument("model")
+    p.add_argument("--layers", type=int, default=1,
+                   help="number of trailing trainable layers (macro arg n)")
+    p.add_argument("--loss", default="mse", choices=["mse", "crossentropy"])
+    p.add_argument("--skip-last", action="store_true",
+                   help="exclude the final layer from backward (macro arg)")
+    p.add_argument("--gradient-mode", default="quantized",
+                   choices=["quantized", "float"])
+    p.add_argument("--x", help=".npy float inputs [N, *input_shape]")
+    p.add_argument("--y", help=".npy float targets [N, *output_shape]")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--load", help="warm-start params from a checkpoint .npz")
+    p.add_argument("--save", help="write trained params to a checkpoint .npz")
+    p.add_argument("--backend", default=None)
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("synth", help="write a synthetic test model")
     p.add_argument("kind", choices=["lenet", "full_ops"])

@@ -30,6 +30,29 @@ def test_cli_predict_golden():
     assert "0.41348344" in r.stdout
 
 
+def test_cli_train_retarget_and_checkpoint(tmp_path):
+    """`train` runs the reference's example loop shape (predict_train +
+    update_layers per batch, ``examples/sine_train.rs:30-58``) and the
+    checkpoint roundtrips."""
+    ck = str(tmp_path / "ck.npz")
+    x = np.random.default_rng(1).uniform(0, 2 * np.pi, (128, 1)).astype(np.float32)
+    np.save(tmp_path / "x.npy", x)
+    np.save(tmp_path / "y.npy", (x / 4).astype(np.float32))
+    r = _run("train", "models/sine.tflite", "--x", str(tmp_path / "x.npy"),
+             "--y", str(tmp_path / "y.npy"), "--epochs", "4", "--batch", "64",
+             "--lr", "0.05", "--save", ck)
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith("epoch")]
+    assert len(lines) == 4
+    first, last = (float(l.split()[-1]) for l in (lines[0], lines[-1]))
+    assert last < first  # integer SGD actually moved toward x/4
+    assert os.path.getsize(ck) > 100
+
+    r = _run("train", "models/sine.tflite", "--epochs", "1", "--load", ck)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "retarget demo" in r.stdout
+
+
 def test_cli_synth(tmp_path):
     out = str(tmp_path / "m.tflite")
     r = _run("synth", "full_ops", out)
