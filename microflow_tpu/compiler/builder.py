@@ -371,7 +371,8 @@ class CompiledModel:
             consts = sum(m.nbytes for op in ops for m in op.mats)
             consts += sum(p.nbytes for op in ops
                           for p in (op.d_plane, op.bias_plane, op.c1_plane,
-                                    op.r_plane, op.sm_mask)
+                                    op.r_plane, op.sm_mask, op.db_plane,
+                                    op.m_plane, op.inv2s_plane)
                           if p is not None)
             consts += sum(p.nbytes for op in ops for p in op.tap_planes)
             scratch = max((op.lanes_out_p for op in ops[:-1]), default=LANE)

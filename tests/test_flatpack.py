@@ -238,6 +238,26 @@ def test_unpackable_graph_raises_clear_error(tmp_path):
         compile_tflite(os.path.join(MODELS, "sine.tflite"), backend="packed")
 
 
+def test_auto_backend_resolves_and_stays_golden():
+    """backend="auto" resolves to a concrete backend (flat only on TPU
+    with a packable conv graph; xla everywhere else) and the resolved
+    model keeps the reference golden (tests/sine.rs / person_detect.rs)."""
+    import jax
+
+    from microflow_tpu import compile_tflite
+
+    m = compile_tflite(os.path.join(MODELS, "sine.tflite"), backend="auto")
+    assert m.backend == "xla"  # pure-FC graphs always stay on XLA
+    assert float(np.asarray(m.predict([[0.5]]))[0, 0]) == pytest.approx(
+        0.41348344, abs=1e-7)
+
+    m = compile_tflite(PERSON, backend="auto")
+    expect = "flat" if jax.default_backend() == "tpu" else "xla"
+    assert m.backend == expect
+    out = np.asarray(m.predict(np.full((1, 96, 96, 1), 0.5, np.float32)))
+    assert out.reshape(-1).tolist() == [0.8046875, 0.1953125]
+
+
 def test_default_backend_env_override():
     from microflow_tpu.compiler.builder import default_backend
 
