@@ -529,8 +529,11 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
         lanes_out_p = -(-(lanes_out + out_off) // LANE) * LANE
 
         if kind == "skip":
-            # pure reshape: the flat buffer is unchanged
-            n = idx + 1
+            # pure reshape: the flat buffer is unchanged.  n is NOT
+            # advanced here -- the next planned compute op's n = idx+1
+            # subsumes the reshape, and if planning breaks first the
+            # reshape stays in the XLA suffix (otherwise the suffix
+            # would see the pre-reshape out_shape)
             continue
         if kind == "softmax":
             if cur_off + lanes_in > LANE:
@@ -637,6 +640,9 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
         n = idx + 1
     if n < 2:
         return None
+    # the prefix must end on an emitted op (its out_shape is the
+    # contract the XLA suffix resumes from)
+    assert ops[-1].layer_idx == n - 1, (ops[-1].layer_idx, n)
     meta = dict(in_lanes=lanes_in0, in_shape=tuple(graph.input_shape),
                 in_off=ops[0].in_off, in_lanes_p=ops[0].lanes_in_p,
                 out_shape=ops[-1].out_shape, out_lanes=ops[-1].lanes_out,
