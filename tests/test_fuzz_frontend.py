@@ -167,3 +167,42 @@ def test_fuzz_writer_parser_roundtrip(seed, tmp_path):
     y = np.asarray(model.predict_inner(xq))
     assert y.shape == (2, *g_py.output_shape)
     assert y.dtype == np.int8
+
+
+def test_fuzz_flat_planner_interpret_parity(tmp_path):
+    """Flat-kernel planner fuzz: every random graph the planner accepts
+    must be bit-identical to the XLA layer chain in interpret mode, and
+    the planned prefix must end on an emitted op (the suffix resumes
+    from ``meta['out_shape']``).  Catches planner corner cases (offsets,
+    window splits, reshape handling) the 3 bundled models never hit."""
+    import jax.numpy as jnp
+
+    from microflow_tpu.compiler.builder import apply_layer, init_params
+    from microflow_tpu.kernels.flatpack import build_flat_kernel, plan_flat
+
+    planned = 0
+    for seed in range(24):
+        path = str(tmp_path / f"fuzz{seed}.tflite")
+        with open(path, "wb") as f:
+            f.write(_rand_graph(seed))
+        g = parse(path, frontend="python")
+        plan = plan_flat(g)
+        if plan is None:
+            continue
+        ops, n, meta = plan
+        assert ops[-1].layer_idx == n - 1, seed
+        planned += 1
+        res = build_flat_kernel(g, tb=2, interpret=True)
+        assert res is not None, seed
+        flat_fn, n, meta = res
+        rng = np.random.default_rng(100 + seed)
+        xq = rng.integers(-128, 128, (2, int(np.prod(g.input_shape))),
+                          dtype=np.int8)
+        params = init_params(g)
+        want = jnp.asarray(xq).reshape(2, *g.input_shape)
+        for layer in g.layers[:n]:
+            want = apply_layer(layer, params, want, "xla")
+        off = meta["out_off"]
+        got = np.asarray(flat_fn(jnp.asarray(xq)))[:, off:off + meta["out_lanes"]]
+        assert np.array_equal(got, np.asarray(want).reshape(2, -1)), seed
+    assert planned >= 4, planned  # the generator must exercise the planner
