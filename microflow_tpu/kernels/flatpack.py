@@ -822,7 +822,10 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                     # for integral bounds; at y = -0.0 the select picks
                     # +0.5 where copysign picks -0.5, but both truncate
                     # to 0.  A compare+select measures ~3% faster than
-                    # jnp.copysign on v5e (round-3 variants log).
+                    # jnp.copysign on v5e, and a bitwise copysign
+                    # ((bits & sign) | 0.5f via i32 and/or) measures a
+                    # dead tie with it (7.156 vs 7.158 ms/batch@6144,
+                    # tb 512) -- Mosaic lowers both to the same cost.
                     t = y + jnp.where(y >= 0, np.float32(0.5),
                                       np.float32(-0.5))
                     if op.clip_lo > -128.0 or op.clip_hi < 127.0:
