@@ -38,7 +38,8 @@ def latency_sweep():
         ("speech", (1960,), (256, 1024, 4096, 16384)),
         # flat (the TPU default since round 3) Mosaic-compiles ~4 min
         # per distinct batch shape; sweep the serving-relevant sizes
-        ("person_detect", (96, 96, 1), (1024, 4096, 6144, 8192)),
+        # plus the bench peak (24576, docs/PERFORMANCE.md round-3 sweep)
+        ("person_detect", (96, 96, 1), (1024, 4096, 6144, 24576)),
     ]
     rows = []
     for name, shape, batches in cases:
