@@ -7,12 +7,27 @@ same program a disk hit.  This is the TPU analog of the reference
 crate's build cache: the macro expansion happens once per `cargo build`
 and is reused until the model or code changes.
 
+Two layers:
+
+* ``enable_compile_cache`` points JAX's own persistent compilation
+  cache at a repo-local directory.  Its key hashes the serialized
+  XLA ``compile_options``, which we measured drifting across backend
+  sessions on relayed TPU targets (identical programs produced
+  distinct keys minutes apart) -- so it hits often but not always.
+* ``cached_executable`` is the engine's own executable cache, keyed
+  ONLY on the client-side lowered HLO text + device kind + jaxlib
+  version (measured byte-stable across processes).  It serializes the
+  compiled executable via ``jax.experimental.serialize_executable``
+  and falls back to a fresh compile on any load/compat failure.
+
 Opt-in because the cache directory is process-global JAX config.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import pickle
 
 
 def enable_compile_cache(path: str | None = None, min_compile_secs: float = 10.0) -> str:
@@ -29,3 +44,69 @@ def enable_compile_cache(path: str | None = None, min_compile_secs: float = 10.0
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
     return path
+
+
+def _default_dir() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+
+
+def cached_executable(fn, *args, name: str = "fn", path: str | None = None):
+    """Compile ``jax.jit(fn)`` for exactly these ``args`` with an
+    executable-level persistent cache.
+
+    The key is the client-side lowered HLO (byte-stable across
+    processes) + device kind + jaxlib version -- deliberately NOT the
+    XLA compile options, whose serialized form drifts across relayed
+    backend sessions and defeats JAX's own persistent-cache key.
+
+    Returns a ``jax.stages.Compiled``: call it with the same tree
+    structure / shapes / dtypes as ``args`` (shape-specialized, like
+    the reference's monomorphized ``model!`` expansion).  Any
+    serialize/deserialize failure falls back to a fresh compile.
+    """
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    # Pallas kernels embed the full trace stack in their serialized
+    # Mosaic payload, so an unrelated caller-side line shift changes
+    # the lowered bytes (measured: same program, different md5).
+    # Lower with tracebacks excluded from locations to make the key a
+    # function of the program alone.
+    prev = jax.config.jax_include_full_tracebacks_in_locations
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
+    try:
+        lowered = jax.jit(fn).lower(*args)
+    finally:
+        jax.config.update("jax_include_full_tracebacks_in_locations", prev)
+    dev = jax.devices()[0]
+    key = hashlib.sha256(
+        (jax.lib.__version__ + "\0" + dev.device_kind + "\0").encode()
+        + lowered.as_text().encode()
+    ).hexdigest()[:40]
+    cdir = path or _default_dir()
+    os.makedirs(cdir, exist_ok=True)
+    fpath = os.path.join(cdir, f"exe_{name}-{key}")
+    if os.path.exists(fpath):
+        try:
+            with open(fpath, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            # pin execution to device 0: these are single-device
+            # programs, and the loader otherwise spreads over every
+            # local device (wrong under a forced multi-device host)
+            return se.deserialize_and_load(payload, in_tree, out_tree,
+                                           execution_devices=[dev])
+        except Exception:
+            pass  # stale/incompatible entry: recompile below
+    compiled = lowered.compile()
+    try:
+        payload, in_tree, out_tree = se.serialize(compiled)
+        tmp = fpath + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, fpath)
+    except Exception:
+        pass  # backend without executable serialization: cache skipped
+    return compiled

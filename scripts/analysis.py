@@ -41,12 +41,14 @@ def latency_sweep():
         # plus the bench peak (24576, docs/PERFORMANCE.md round-3 sweep)
         ("person_detect", (96, 96, 1), (1024, 4096, 6144, 24576)),
     ]
+    from microflow_tpu.utils import cached_executable, enable_compile_cache
+
+    enable_compile_cache()
     rows = []
     for name, shape, batches in cases:
         model = compile_tflite(os.path.join(ROOT, "models", f"{name}.tflite"), name=name)
         for batch in batches:
-            @jax.jit
-            def chain(params, xq):
+            def chain_fn(params, xq):
                 yq = model._forward(params, xq)
                 bump = yq.reshape(yq.shape[0], -1)[:, :1]
                 bump = bump.reshape(bump.shape + (1,) * (xq.ndim - bump.ndim))
@@ -55,6 +57,10 @@ def latency_sweep():
             xq = jax.device_put(
                 jax.random.randint(jax.random.PRNGKey(0), (batch, *shape), -128, 128, dtype=jnp.int8)
             )
+            # engine-level executable cache; the name matches bench.py's
+            # so the sweep and the bench share compiled entries
+            chain = cached_executable(chain_fn, model.params, xq,
+                                      name=f"bench_{name}_{batch}")
             x, y = chain(model.params, xq)
             _ = int(y.reshape(-1)[0])
             # enough serialized iterations to amortize dispatch + settle clocks

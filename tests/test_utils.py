@@ -81,3 +81,25 @@ def test_memory_artifact_checked_in():
     for r in rows:
         assert int(r["params_bytes"]) > 0
         assert int(r["peak_hbm_bytes"]) >= int(r["args_hbm_bytes"])
+
+
+def test_cached_executable_roundtrip(tmp_path):
+    """Engine-level executable cache: compile-and-store, then load-and-run
+    with identical results; keyed on the lowered HLO so a second process
+    (or a relay session with drifted XLA compile options) still hits."""
+    from microflow_tpu.utils import cached_executable
+
+    def f(a, b):
+        return (a @ b).sum(axis=1), a + 1
+
+    a = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+    b = jnp.ones((4, 5), jnp.float32)
+    c1 = cached_executable(f, a, b, name="t", path=str(tmp_path))
+    y1, z1 = c1(a, b)
+    entries = [e for e in os.listdir(tmp_path) if e.startswith("exe_t-")]
+    c2 = cached_executable(f, a, b, name="t", path=str(tmp_path))
+    y2, z2 = c2(a, b)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    if entries:  # backend supports executable serialization: c2 was a load
+        assert len(entries) == 1
