@@ -348,6 +348,7 @@ class CompiledModel:
         self.params = init_params(graph)
         self._jit_predict = jax.jit(self._predict_from_quantized)
         self._jit_inner = jax.jit(self._forward)
+        self._warmed: dict = {}  # batch_size -> compiled executable
 
     def _build_flat(self, graph: Graph):
         """Build the flat whole-network kernel, auto-sizing the batch
@@ -462,13 +463,41 @@ class CompiledModel:
             dtype=g.input_dtype.type,
         )
 
+    def warm(self, batch_size: int, cache: bool = True):
+        """Pre-compile ``predict`` for a fixed batch size; with
+        ``cache=True`` the executable persists in the engine's
+        HLO-keyed cache (utils/cache.py) so later processes skip the
+        minutes-long flat-kernel compile.  The serving analog of the
+        reference's ahead-of-time ``model!`` macro expansion: after
+        ``warm(b)``, predict/predict_quantized on exactly batch ``b``
+        dispatch to the warmed executable."""
+        xq = jnp.zeros((batch_size, *self.graph.input_shape),
+                       self.graph.input_dtype.type)
+        if cache:
+            from ..utils.cache import cached_executable
+
+            exe = cached_executable(
+                self._predict_from_quantized, self.params, xq,
+                name=f"predict_{self.graph.name}_{batch_size}")
+        else:
+            exe = jax.jit(self._predict_from_quantized).lower(
+                self.params, xq).compile()
+        self._warmed[batch_size] = exe
+        return exe
+
     def predict(self, x) -> jax.Array:
         """f32 [B, *input_shape] -> f32 [B, *output_shape]."""
-        return self._jit_predict(self.params, self.quantize_input(x))
+        return self._dispatch(self.quantize_input(x))
 
     def predict_quantized(self, xq) -> jax.Array:
         """int [B, *input_shape] -> f32 [B, *output_shape]."""
-        return self._jit_predict(self.params, jnp.asarray(xq))
+        return self._dispatch(jnp.asarray(xq))
+
+    def _dispatch(self, xq) -> jax.Array:
+        exe = self._warmed.get(xq.shape[0]) if self._warmed else None
+        if exe is not None:
+            return exe(self.params, xq)
+        return self._jit_predict(self.params, xq)
 
     def predict_inner(self, xq) -> jax.Array:
         """int [B, *input_shape] -> int [B, *output_shape]."""

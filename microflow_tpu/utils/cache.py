@@ -47,6 +47,9 @@ def enable_compile_cache(path: str | None = None, min_compile_secs: float = 10.0
 
 
 def _default_dir() -> str:
+    env = os.environ.get("MFT_CACHE_DIR")
+    if env:
+        return env
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".jax_cache",

@@ -103,3 +103,25 @@ def test_cached_executable_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
     if entries:  # backend supports executable serialization: c2 was a load
         assert len(entries) == 1
+
+
+def test_model_warm_dispatch(tmp_path, monkeypatch):
+    """CompiledModel.warm(b): predict at batch b routes through the
+    warmed (and disk-cached) executable with bit-identical results."""
+    from microflow_tpu import compile_tflite
+
+    monkeypatch.setenv("MFT_CACHE_DIR", str(tmp_path))
+    m = compile_tflite("models/sine.tflite")
+    x = np.linspace(-1, 1, 4, dtype=np.float32).reshape(4, 1)
+    base = np.asarray(m.predict(x))
+    m.warm(4)
+    assert 4 in m._warmed
+    warmed = np.asarray(m.predict(x))
+    np.testing.assert_array_equal(base, warmed)
+    # other batch sizes still dispatch through the plain jit
+    np.testing.assert_allclose(np.asarray(m.predict(x[:2])), base[:2])
+    # a second model instance loads the persisted executable (when the
+    # backend supports serialization) and agrees bit-for-bit
+    m2 = compile_tflite("models/sine.tflite")
+    m2.warm(4)
+    np.testing.assert_array_equal(np.asarray(m2.predict(x)), base)
