@@ -90,7 +90,10 @@ def cached_executable(fn, *args, name: str = "fn", path: str | None = None):
         + lowered.as_text().encode()
     ).hexdigest()[:40]
     cdir = path or _default_dir()
-    os.makedirs(cdir, exist_ok=True)
+    try:
+        os.makedirs(cdir, exist_ok=True)
+    except OSError:
+        return lowered.compile()  # read-only deployment: no cache
     fpath = os.path.join(cdir, f"exe_{name}-{key}")
     if os.path.exists(fpath):
         try:
