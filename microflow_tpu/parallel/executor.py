@@ -39,12 +39,34 @@ class BatchServer:
             in_shardings=(replicated(self.mesh), batch_sharding(self.mesh, ndim)),
             out_shardings=batch_sharding(self.mesh, 1 + len(model.graph.output_shape)),
         )
+        self._warmed: dict = {}  # bucket size -> compiled executable
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     # --- client API ---
+
+    def warm(self, bucket: int, cache: bool = True):
+        """Pre-compile the sharded predict for one admission bucket;
+        with ``cache=True`` the executable persists in the engine's
+        HLO-keyed cache (utils/cache.py) keyed on the sharded program
+        + mesh topology, so a restarted server skips the compile.  The
+        admission loop dispatches exactly-``bucket`` batches through
+        the warmed executable."""
+        g = self.model.graph
+        xq = np.zeros((bucket, *g.input_shape), g.input_dtype.type)
+        if cache:
+            from ..utils.cache import cached_executable
+
+            exe = cached_executable(
+                self._predict, self.params, xq,
+                name=f"serve_{g.name}_{bucket}x{self.mesh.devices.size}",
+                devices=list(self.mesh.devices.flatten()))
+        else:
+            exe = self._predict.lower(self.params, xq).compile()
+        self._warmed[bucket] = exe
+        return exe
 
     def submit(self, x: np.ndarray) -> Future:
         """Enqueue a [b, *input_shape] f32 request; resolves to f32 output."""
@@ -91,7 +113,8 @@ class BatchServer:
             if pad:
                 xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
             try:
-                ys = self._predict(self.params, jax.device_put(xs))
+                pfn = self._warmed.get(bucket, self._predict)
+                ys = pfn(self.params, jax.device_put(xs))
                 ys = np.asarray(ys)
                 off = 0
                 for xq, fut in batch:

@@ -56,14 +56,22 @@ def _default_dir() -> str:
     )
 
 
-def cached_executable(fn, *args, name: str = "fn", path: str | None = None):
+def cached_executable(fn, *args, name: str = "fn", path: str | None = None,
+                      devices=None):
     """Compile ``jax.jit(fn)`` for exactly these ``args`` with an
     executable-level persistent cache.
 
     The key is the client-side lowered HLO (byte-stable across
-    processes) + device kind + jaxlib version -- deliberately NOT the
-    XLA compile options, whose serialized form drifts across relayed
-    backend sessions and defeats JAX's own persistent-cache key.
+    processes; sharding annotations included, so a sharded program
+    keys separately) + device topology + jaxlib version --
+    deliberately NOT the XLA compile options, whose serialized form
+    drifts across relayed backend sessions and defeats JAX's own
+    persistent-cache key.
+
+    ``fn`` may be a plain function or an existing ``jax.jit`` wrapper
+    (e.g. one carrying in/out shardings); ``devices`` pins execution
+    devices on load (default: device 0 -- pass the flattened mesh
+    devices for a sharded program).
 
     Returns a ``jax.stages.Compiled``: call it with the same tree
     structure / shapes / dtypes as ``args`` (shape-specialized, like
@@ -73,6 +81,7 @@ def cached_executable(fn, *args, name: str = "fn", path: str | None = None):
     import jax
     from jax.experimental import serialize_executable as se
 
+    jitfn = fn if hasattr(fn, "lower") else jax.jit(fn)
     # Pallas kernels embed the full trace stack in their serialized
     # Mosaic payload, so an unrelated caller-side line shift changes
     # the lowered bytes (measured: same program, different md5).
@@ -81,12 +90,13 @@ def cached_executable(fn, *args, name: str = "fn", path: str | None = None):
     prev = jax.config.jax_include_full_tracebacks_in_locations
     jax.config.update("jax_include_full_tracebacks_in_locations", False)
     try:
-        lowered = jax.jit(fn).lower(*args)
+        lowered = jitfn.lower(*args)
     finally:
         jax.config.update("jax_include_full_tracebacks_in_locations", prev)
-    dev = jax.devices()[0]
+    devs = list(devices) if devices is not None else [jax.devices()[0]]
+    topo = ",".join(d.device_kind for d in devs)
     key = hashlib.sha256(
-        (jax.lib.__version__ + "\0" + dev.device_kind + "\0").encode()
+        (jax.lib.__version__ + "\0" + topo + "\0").encode()
         + lowered.as_text().encode()
     ).hexdigest()[:40]
     cdir = path or _default_dir()
@@ -99,11 +109,11 @@ def cached_executable(fn, *args, name: str = "fn", path: str | None = None):
         try:
             with open(fpath, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
-            # pin execution to device 0: these are single-device
-            # programs, and the loader otherwise spreads over every
-            # local device (wrong under a forced multi-device host)
+            # pin execution devices: the loader otherwise spreads over
+            # every local device (wrong under a forced multi-device
+            # host when the program was compiled single-device)
             return se.deserialize_and_load(payload, in_tree, out_tree,
-                                           execution_devices=[dev])
+                                           execution_devices=devs)
         except Exception:
             pass  # stale/incompatible entry: recompile below
     compiled = lowered.compile()

@@ -160,3 +160,29 @@ def test_shard_params_replicate_policy(sine):
     for key, sub in placed.items():
         for name, arr in sub.items():
             assert arr.sharding.is_fully_replicated, (key, name)
+
+
+def test_batch_server_warm_sharded_executable(sine, tmp_path, monkeypatch):
+    """warm(bucket) pre-compiles the mesh-sharded predict through the
+    engine's executable cache; warmed dispatch is bit-identical, and a
+    restarted server loads the persisted sharded executable."""
+    monkeypatch.setenv("MFT_CACHE_DIR", str(tmp_path))
+    xs = np.linspace(-1.0, 1.0, 16, dtype=np.float32).reshape(-1, 1)
+    server = BatchServer(sine, max_batch=16, max_wait_ms=1.0)
+    try:
+        server.warm(16)
+        assert 16 in server._warmed
+        got = server.predict(xs)
+    finally:
+        server.stop()
+    ref = np.asarray(sine.predict(xs))
+    np.testing.assert_array_equal(got, ref)
+    # restart: the sharded executable comes back from disk (when the
+    # backend supports serialization) and still agrees
+    server2 = BatchServer(sine, max_batch=16, max_wait_ms=1.0)
+    try:
+        server2.warm(16)
+        got2 = server2.predict(xs)
+    finally:
+        server2.stop()
+    np.testing.assert_array_equal(got2, ref)
