@@ -48,12 +48,13 @@ def select_golden(model_name, input_shape):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="models/person_detect.tflite")
-    # batch 24576 is the measured throughput peak for the flat kernel
-    # (docs/PERFORMANCE.md round-3 sweep: 928k@6144 -> 948k@24576; the
-    # curve is ~flat past 12288); sustained serialized iterations settle
-    # device clocks (80 iters reads ~3% low -- clocks keep ramping past
-    # it; 200 measured 823k vs 746k at 40 on the same chip)
-    ap.add_argument("--batch", type=int, default=24576)
+    # batch 49152 is the measured throughput peak for the flat kernel
+    # (docs/PERFORMANCE.md round-3 sweep: 928k@6144 -> 948k@24576 ->
+    # 952k@49152; 98304 adds +0.17% for 2x the compile); sustained
+    # serialized iterations settle device clocks (80 iters reads ~3%
+    # low -- clocks keep ramping past it; 200 measured 823k vs 746k at
+    # 40 on the same chip)
+    ap.add_argument("--batch", type=int, default=49152)
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--backend", default=None, help="pallas|xla (default: auto)")
     args = ap.parse_args()
