@@ -123,6 +123,23 @@ def cached_executable(fn, *args, name: str = "fn", path: str | None = None,
         with open(tmp, "wb") as f:
             pickle.dump((payload, in_tree, out_tree), f)
         os.replace(tmp, fpath)
+        _prune_executables(cdir)
     except Exception:
         pass  # backend without executable serialization: cache skipped
     return compiled
+
+
+_MAX_EXECUTABLES = 24  # ~100 MB each for the flat kernel: cap ~2.5 GB
+
+
+def _prune_executables(cdir: str) -> None:
+    """Drop the oldest exe_* entries beyond the cap (stale program
+    versions accumulate one ~100 MB file per code change otherwise)."""
+    try:
+        entries = [os.path.join(cdir, e) for e in os.listdir(cdir)
+                   if e.startswith("exe_") and ".tmp" not in e]
+        entries.sort(key=os.path.getmtime)
+        for stale in entries[:-_MAX_EXECUTABLES]:
+            os.unlink(stale)
+    except OSError:
+        pass
