@@ -80,6 +80,49 @@ def latency_sweep():
             w.writerow([r[0], r[1], f"{r[2]:.1f}", f"{r[3]:.0f}"])
 
 
+def train_sweep(cases=None, iters: int = 50):
+    """Train-step throughput: fwd + bwd + gradient accumulation as one
+    jitted batch, plus the weight update (the reference trains one
+    sample per loop iteration, ``examples/speech_train.rs:76-93``).
+    Steps serialize naturally -- each chains on the device-resident
+    gradient pytree -- so wall timing is relay-safe."""
+    import jax
+
+    from microflow_tpu import models
+
+    if cases is None:
+        cases = [
+            ("sine", models.sine_trainable, (1,), 4096),
+            ("speech", models.speech_trainable, (1960,), 1024),
+            ("person_detect", models.person_detect_trainable, (96, 96, 1), 256),
+        ]
+    rng = np.random.default_rng(7)
+    rows = []
+    for name, ctor, shape, batch in cases:
+        m = ctor()
+        x = rng.uniform(-1, 1, (batch, *shape)).astype(np.float32)
+        xq = m.quantize_input(x)
+        gt_q = m.quantize_target(rng.uniform(0, 1, (batch, *m.graph.output_shape)).astype(np.float32))
+        m.predict_quantized_train(xq, gt_q, 0.01)  # compile + warm
+        m.update_layers(batch, 0.01)
+        _ = np.asarray(jax.tree_util.tree_leaves(m.grads)[0]).ravel()[0]
+        t0 = time.time()
+        for _ in range(iters):
+            m.predict_quantized_train(xq, gt_q, 0.01)
+        m.update_layers(batch, 0.01)
+        _ = np.asarray(jax.tree_util.tree_leaves(m.grads)[0]).ravel()[0]
+        dt = (time.time() - t0) / iters
+        rows.append((name, batch, dt * 1e6, batch / dt))
+        print(f"train {name:<14} batch {batch:>5}: {dt*1e3:8.3f} ms/step  "
+              f"{batch/dt:12,.0f} samples/s", file=sys.stderr)
+
+    with open(os.path.join(OUT, "train.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["model", "batch", "step_latency_us", "samples_per_s"])
+        for r in rows:
+            w.writerow([r[0], r[1], f"{r[2]:.1f}", f"{r[3]:.0f}"])
+
+
 def parity_report():
     from microflow_tpu import compile_tflite
 
@@ -110,3 +153,4 @@ def parity_report():
 if __name__ == "__main__":
     parity_report()
     latency_sweep()
+    train_sweep()
