@@ -155,8 +155,9 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.add_argument("model", nargs="?", default="models/person_detect.tflite")
-    p.add_argument("--batch", type=int, default=8192)
-    p.add_argument("--iters", type=int, default=20)
+    # bench.py's measured defaults (docs/PERFORMANCE.md batch sweep)
+    p.add_argument("--batch", type=int, default=49152)
+    p.add_argument("--iters", type=int, default=200)
     p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "fused", "hybrid", "packed", "flat"])
     p.set_defaults(fn=cmd_bench)
 
