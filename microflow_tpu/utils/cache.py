@@ -32,17 +32,22 @@ import pickle
 
 def enable_compile_cache(path: str | None = None, min_compile_secs: float = 10.0) -> str:
     """Point JAX's persistent compilation cache at ``path`` (default:
-    ``<repo>/.jax_cache``).  Returns the directory used.  Safe to call
-    more than once; later calls re-point the cache."""
+    ``MFT_CACHE_DIR`` or ``<repo>/.jax_cache``).  Returns the directory
+    used.  Safe to call more than once; later calls re-point the cache.
+
+    Also excludes Python tracebacks from MLIR locations: Pallas kernels
+    embed the caller's trace stack in their Mosaic payload, so with
+    tracebacks on, an unrelated line shift in any calling file changes
+    the lowered bytes and misses the cache (measured; see
+    ``cached_executable``).  The cost is less precise source locations
+    in compiler dumps -- acceptable when opting into caching."""
     import jax
 
     if path is None:
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            ".jax_cache",
-        )
+        path = _default_dir()
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
     return path
 
 
