@@ -120,6 +120,9 @@ def cmd_train(args):
     if args.save:
         checkpoint.save_params(args.save, m.params)
         print(f"saved params -> {args.save}")
+    if args.export:
+        m.export(args.export)
+        print(f"exported trained model -> {args.export}")
 
 
 def cmd_synth(args):
@@ -178,6 +181,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load", help="warm-start params from a checkpoint .npz")
     p.add_argument("--save", help="write trained params to a checkpoint .npz")
+    p.add_argument("--export", help="write the trained model back to a .tflite")
     p.add_argument("--backend", default=None)
     p.set_defaults(fn=cmd_train)
 

@@ -503,6 +503,22 @@ class CompiledModel:
         """int [B, *input_shape] -> int [B, *output_shape]."""
         return self._jit_inner(self.params, jnp.asarray(xq))
 
+    def export(self, path: str | None = None) -> bytes:
+        """Serialize the model -- with its CURRENT params, including any
+        training updates -- back to ``.tflite`` bytes
+        (``frontend/export.py``).  Untrained models round-trip
+        bit-exactly; trained folded biases are quantized to the nearest
+        integer bias on export.  Writes to ``path`` when given."""
+        from ..frontend.export import export_tflite
+
+        params = jax.tree_util.tree_map(np.asarray, self.params)
+        data = export_tflite(self.graph, params,
+                             description=f"microflow_tpu export: {self.graph.name}")
+        if path:
+            with open(path, "wb") as f:
+                f.write(data)
+        return data
+
     def expansion(self, batch_size: int = 1) -> str:
         """Debug artifact: the traced program (reference dumps its macro
         expansion to ``target/microflow-expansion.rs``)."""

@@ -1,0 +1,96 @@
+"""Trained-model export (frontend/export.py): parse -> export -> parse
+round trips bit-exactly for untrained models (incl. per-channel
+person_detect), the official TFLite runtime loads the exported bytes,
+and a trained model exports with bounded bias-quantization error."""
+
+import os
+
+import numpy as np
+import pytest
+
+from microflow_tpu import compile_tflite
+
+MODELS = os.path.join(os.path.dirname(__file__), "..", "models")
+rng = np.random.default_rng(3)
+
+
+def _roundtrip(name, tmp_path):
+    m = compile_tflite(os.path.join(MODELS, f"{name}.tflite"), name=name)
+    path = str(tmp_path / f"{name}_rt.tflite")
+    m.export(path)
+    m2 = compile_tflite(path, name=f"{name}_rt")
+    xq = rng.integers(-128, 128, (4, *m.graph.input_shape), dtype=np.int8)
+    a = np.asarray(m.predict_inner(xq))
+    b = np.asarray(m2.predict_inner(xq))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_export_roundtrip_sine(tmp_path):
+    _roundtrip("sine", tmp_path)
+
+
+def test_export_roundtrip_speech(tmp_path):
+    _roundtrip("speech", tmp_path)
+
+
+def test_export_roundtrip_person_detect(tmp_path):
+    # exercises per-channel dw (quantized_dimension=3), SAME stride-2
+    # convs, avgpool, reshape-free FC head and softmax
+    _roundtrip("person_detect", tmp_path)
+
+
+def test_export_roundtrip_synth_full_ops(tmp_path):
+    """QUANTIZE + dwconv + conv + SAME avgpool + reshape + fc + softmax."""
+    from microflow_tpu.models import synth
+
+    src = synth.write(str(tmp_path / "full_ops.tflite"), synth.full_ops())
+    m = compile_tflite(src, name="full_ops")
+    path = str(tmp_path / "full_ops_rt.tflite")
+    m.export(path)
+    m2 = compile_tflite(path, name="full_ops_rt")
+    xq = rng.integers(-128, 128, (3, 8, 8, 2), dtype=np.int8)
+    np.testing.assert_array_equal(
+        np.asarray(m.predict_inner(xq)), np.asarray(m2.predict_inner(xq)))
+
+
+def test_export_loads_in_official_tflite():
+    try:
+        from ai_edge_litert.interpreter import Interpreter
+    except ImportError:
+        tf = pytest.importorskip("tensorflow")
+        Interpreter = tf.lite.Interpreter
+    m = compile_tflite(os.path.join(MODELS, "sine.tflite"), name="sine")
+    interp = Interpreter(model_content=m.export())
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    x = np.array([[0.5]], np.float32)
+    xq = np.round(x / inp["quantization"][0] + inp["quantization"][1]).astype(np.int8)
+    interp.set_tensor(inp["index"], xq)
+    interp.invoke()
+    yq = interp.get_tensor(out["index"]).astype(np.int32)
+    ours = np.asarray(m.predict_inner(np.asarray(xq))).astype(np.int32)
+    assert np.abs(yq - ours).max() <= 1  # expf ULP tolerance (interop contract)
+
+
+def test_export_trained_model(tmp_path):
+    """Train sine for a few steps, export, reload: the exported model's
+    quantized outputs stay within 1 LSB of the in-memory trained model
+    on the training inputs (bias re-quantization is the only delta)."""
+    from microflow_tpu.train import compile_tflite_train
+
+    t = compile_tflite_train(os.path.join(MODELS, "sine.tflite"), 2, "mse",
+                             False, name="sine_t")
+    x = np.linspace(0.0, 2 * np.pi, 64, dtype=np.float32).reshape(-1, 1)
+    gt = t.quantize_target(np.sin(x) * 0.5)  # retarget task
+    before = np.asarray(t.predict_inner(t.quantize_input(x)))
+    for _ in range(4):
+        t.predict_train(x, gt, 0.05)
+        t.update_layers(batch_size=64, learning_rate=0.05)
+    after = np.asarray(t.predict_inner(t.quantize_input(x)))
+    assert np.any(after != before)  # training moved the weights
+    path = str(tmp_path / "sine_trained.tflite")
+    t.export(path)
+    m2 = compile_tflite(path, name="sine_trained_rt")
+    got = np.asarray(m2.predict_inner(t.quantize_input(x)))
+    assert np.abs(got.astype(np.int32) - after.astype(np.int32)).max() <= 1
