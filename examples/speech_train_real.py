@@ -89,3 +89,9 @@ for step in range(steps):
 ok, preds = real_report()
 print(f"final: real yes.wav -> {preds[0]!r}, no.wav -> {preds[1]!r} "
       f"({ok}/2 correct); val accuracy {accuracy(val_x, val_y):.2f}")
+
+# deployable artifact: the fine-tuned model back as a standard .tflite
+import os as _os
+out = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "speech_finetuned.tflite")
+model.export(out)
+print(f"exported fine-tuned model -> {out}")
