@@ -206,3 +206,26 @@ def test_fuzz_flat_planner_interpret_parity(tmp_path):
         got = np.asarray(flat_fn(jnp.asarray(xq)))[:, off:off + meta["out_lanes"]]
         assert np.array_equal(got, np.asarray(want).reshape(2, -1)), seed
     assert planned >= 4, planned  # the generator must exercise the planner
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_export_roundtrip(seed, tmp_path):
+    """Export fuzz: every random graph must survive
+    writer -> parse -> export -> parse with bit-identical predictions
+    (the export inverts the parser's decode transforms; see
+    frontend/export.py)."""
+    from microflow_tpu.frontend.export import export_tflite
+
+    path = str(tmp_path / f"fz{seed}.tflite")
+    with open(path, "wb") as f:
+        f.write(_rand_graph(1000 + seed))
+    g = parse(path, frontend="python")
+    m = build(g)
+    path2 = str(tmp_path / f"fz{seed}_rt.tflite")
+    with open(path2, "wb") as f:
+        f.write(export_tflite(g))
+    m2 = build(parse(path2, frontend="python"))
+    rng = np.random.default_rng(seed)
+    xq = rng.integers(-128, 128, (2, *g.input_shape), dtype=np.int8)
+    np.testing.assert_array_equal(
+        np.asarray(m.predict_inner(xq)), np.asarray(m2.predict_inner(xq)))
