@@ -94,3 +94,37 @@ def test_export_trained_model(tmp_path):
     m2 = compile_tflite(path, name="sine_trained_rt")
     got = np.asarray(m2.predict_inner(t.quantize_input(x)))
     assert np.abs(got.astype(np.int32) - after.astype(np.int32)).max() <= 1
+
+
+def test_export_roundtrip_uint8(tmp_path):
+    """uint8-era model (u8 activations AND u8 weights with zp=128)
+    survives export: dtype and weight zero-points must roundtrip."""
+    from microflow_tpu.models import synth
+
+    src = synth.write(str(tmp_path / "u8.tflite"), synth.uint8_mlp())
+    m = compile_tflite(src, name="u8")
+    path = str(tmp_path / "u8_rt.tflite")
+    m.export(path)
+    m2 = compile_tflite(path, name="u8_rt")
+    xq = rng.integers(0, 256, (4, 16), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(m.predict_inner(xq)), np.asarray(m2.predict_inner(xq)))
+
+
+def test_export_rejects_unsupported_layer():
+    """Failure detection: a graph with a layer type export cannot emit
+    raises with a clear message instead of writing a corrupt file."""
+    from microflow_tpu.frontend.export import export_tflite
+
+    m = compile_tflite(os.path.join(MODELS, "sine.tflite"), name="sine")
+
+    class Alien:
+        index = 99
+        out_shape = (1,)
+
+    g = m.graph
+    layers = g.layers + [Alien()]
+    import dataclasses
+    g2 = dataclasses.replace(g, layers=layers)
+    with pytest.raises(NotImplementedError, match="Alien"):
+        export_tflite(g2)
