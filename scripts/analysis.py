@@ -154,7 +154,78 @@ def parity_report():
         w.writerows(rows)
 
 
+def serving_sweep():
+    """Continuous-serving throughput on the current device: requests
+    stream through the BatchServer admission loop (coalescing, bucket
+    padding, sharded executable dispatch, per-request Future
+    resolution) -- the end-to-end serving number, vs bench.py's raw
+    compute chain.  Requests are bucket-sized so every dispatch rides
+    the warmed executable; per-request latency is captured by done
+    callbacks (submit -> resolution).  Each bucket dispatch ends in a
+    host readback (np.asarray in the worker), so timing is honest
+    under the async relay.
+
+    NOT in the default artifact set: on the development TPU relay the
+    submit path is tunnel-bandwidth-bound (measured 109 inf/s vs the
+    947k inf/s compute chain -- a 226 MB f32 request takes ~85 s
+    through the tunnel), so the number describes the tunnel, not the
+    engine.  Run on a host co-located with the TPU for a meaningful
+    serving.csv; on the relay, the serving artifacts of record are
+    scaling.csv (virtual mesh) + the BatchServer tests."""
+    from microflow_tpu import compile_tflite
+    from microflow_tpu.parallel import BatchServer
+
+    cases = [
+        ("person_detect", (96, 96, 1), 6144, 32),
+        ("speech", (1960,), 2048, 64),
+    ]
+    rng = np.random.default_rng(11)
+    rows = []
+    for name, shape, bucket, n_req in cases:
+        model = compile_tflite(os.path.join(ROOT, "models", f"{name}.tflite"),
+                               name=name)
+        server = BatchServer(model, max_batch=bucket, max_wait_ms=2.0)
+        try:
+            server.warm(bucket)
+            xs = rng.uniform(0, 1, (bucket, *shape)).astype(np.float32)
+            server.predict(xs)  # warm the admission path end to end
+            t_done = {}
+            t_sub = []
+            futs = []
+            t0 = time.time()
+            for i in range(n_req):
+                t_sub.append(time.time())
+                fut = server.submit(xs)
+                fut.add_done_callback(
+                    lambda f, i=i: t_done.__setitem__(i, time.time()))
+                futs.append(fut)
+            for f in futs:
+                f.result(timeout=600)
+            wall = time.time() - t0
+        finally:
+            server.stop()
+        lat = np.asarray([t_done[i] - t_sub[i] for i in range(n_req)]) * 1e3
+        inf_s = n_req * bucket / wall
+        p50, p99 = float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
+        rows.append((name, n_req, bucket, n_req / wall, inf_s, p50, p99))
+        print(f"serve {name:<14} {n_req} reqs x {bucket}: {n_req/wall:8.1f} req/s "
+              f"{inf_s:12,.0f} inf/s  p50 {p50:.1f} ms  p99 {p99:.1f} ms",
+              file=sys.stderr)
+
+    with open(os.path.join(OUT, "serving.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["model", "n_requests", "bucket",
+                    "requests_per_s", "inferences_per_s", "p50_ms", "p99_ms"])
+        for r in rows:
+            w.writerow([r[0], r[1], r[2], f"{r[3]:.1f}", f"{r[4]:.0f}",
+                        f"{r[5]:.2f}", f"{r[6]:.2f}"])
+
+
 if __name__ == "__main__":
     parity_report()
     latency_sweep()
     train_sweep()
+    # serving_sweep(): opt-in -- relay-bandwidth-bound on this
+    # environment; see its docstring
+    if "--serving" in sys.argv:
+        serving_sweep()
