@@ -154,7 +154,7 @@ def parity_report():
         w.writerows(rows)
 
 
-def serving_sweep():
+def serving_sweep(cases=None):
     """Continuous-serving throughput on the current device: requests
     stream through the BatchServer admission loop (coalescing, bucket
     padding, sharded executable dispatch, per-request Future
@@ -175,10 +175,11 @@ def serving_sweep():
     from microflow_tpu import compile_tflite
     from microflow_tpu.parallel import BatchServer
 
-    cases = [
-        ("person_detect", (96, 96, 1), 6144, 32),
-        ("speech", (1960,), 2048, 64),
-    ]
+    if cases is None:
+        cases = [
+            ("person_detect", (96, 96, 1), 6144, 32),
+            ("speech", (1960,), 2048, 64),
+        ]
     rng = np.random.default_rng(11)
     rows = []
     for name, shape, bucket, n_req in cases:

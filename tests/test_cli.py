@@ -40,13 +40,18 @@ def test_cli_train_retarget_and_checkpoint(tmp_path):
     np.save(tmp_path / "y.npy", (x / 4).astype(np.float32))
     r = _run("train", "models/sine.tflite", "--x", str(tmp_path / "x.npy"),
              "--y", str(tmp_path / "y.npy"), "--epochs", "4", "--batch", "64",
-             "--lr", "0.05", "--save", ck)
+             "--lr", "0.05", "--save", ck,
+             "--export", str(tmp_path / "trained.tflite"))
     assert r.returncode == 0, r.stderr[-500:]
     lines = [l for l in r.stdout.splitlines() if l.startswith("epoch")]
     assert len(lines) == 4
     first, last = (float(l.split()[-1]) for l in (lines[0], lines[-1]))
     assert last < first  # integer SGD actually moved toward x/4
     assert os.path.getsize(ck) > 100
+    # --export wrote a loadable trained .tflite
+    from microflow_tpu import compile_tflite
+    m = compile_tflite(str(tmp_path / "trained.tflite"))
+    assert np.asarray(m.predict(x[:2])).shape == (2, 1)
 
     r = _run("train", "models/sine.tflite", "--epochs", "1", "--load", ck)
     assert r.returncode == 0, r.stderr[-500:]

@@ -125,3 +125,25 @@ def test_model_warm_dispatch(tmp_path, monkeypatch):
     m2 = compile_tflite("models/sine.tflite")
     m2.warm(4)
     np.testing.assert_array_equal(np.asarray(m2.predict(x)), base)
+
+
+def test_serving_sweep_smoke(tmp_path, monkeypatch):
+    """The opt-in serving sweep (scripts/analysis.py --serving) runs end
+    to end on the virtual mesh and writes a well-formed serving.csv
+    (it is relay-bandwidth-bound on the TPU tunnel, so CI validates the
+    harness on CPU; see docs/PERFORMANCE.md 'Serving end-to-end')."""
+    import csv
+    import sys
+
+    monkeypatch.setenv("MFT_CACHE_DIR", str(tmp_path))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        import analysis
+    finally:
+        sys.path.pop(0)
+    monkeypatch.setattr(analysis, "OUT", str(tmp_path))
+    analysis.serving_sweep(cases=[("sine", (1,), 64, 4)])
+    with open(os.path.join(str(tmp_path), "serving.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1 and rows[0]["model"] == "sine"
+    assert float(rows[0]["inferences_per_s"]) > 0
