@@ -89,13 +89,8 @@ def main():
     if entry is not None:
         gin, expected = entry
         if use_exe_cache:
-            gq = model.quantize_input(gin)
-            pfn = cached_executable(model._predict_from_quantized,
-                                    model.params, gq,
-                                    name=f"predict_{model_name}")
-            golden = np.asarray(pfn(model.params, gq))
-        else:
-            golden = np.asarray(model.predict(gin))
+            model.warm(np.asarray(gin).shape[0])
+        golden = np.asarray(model.predict(gin))
         if not np.array_equal(golden, expected):
             log(f"PARITY FAILURE ({model_name}): {golden} != {expected}")
             print(json.dumps({"metric": f"{model_name}_parity", "value": 0, "unit": "bool", "vs_baseline": 0}))

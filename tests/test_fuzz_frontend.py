@@ -175,11 +175,16 @@ def test_fuzz_flat_planner_interpret_parity(tmp_path):
     the planned prefix must end on an emitted op (the suffix resumes
     from ``meta['out_shape']``).  Catches planner corner cases (offsets,
     window splits, reshape handling) the 3 bundled models never hit."""
+    import jax
     import jax.numpy as jnp
 
     from microflow_tpu.compiler.builder import apply_layer, init_params
     from microflow_tpu.kernels.flatpack import build_flat_kernel, plan_flat
 
+    # interpret-mode kernels are pure jnp numerics: run them on the
+    # local CPU devices -- on the TPU relay every tiny op is a ~2 ms
+    # remote dispatch and this test alone costs ~8 min (measured)
+    cpu = jax.devices("cpu")[0]
     planned = 0
     for seed in range(24):
         path = str(tmp_path / f"fuzz{seed}.tflite")
@@ -198,12 +203,13 @@ def test_fuzz_flat_planner_interpret_parity(tmp_path):
         rng = np.random.default_rng(100 + seed)
         xq = rng.integers(-128, 128, (2, int(np.prod(g.input_shape))),
                           dtype=np.int8)
-        params = init_params(g)
-        want = jnp.asarray(xq).reshape(2, *g.input_shape)
-        for layer in g.layers[:n]:
-            want = apply_layer(layer, params, want, "xla")
-        off = meta["out_off"]
-        got = np.asarray(flat_fn(jnp.asarray(xq)))[:, off:off + meta["out_lanes"]]
+        with jax.default_device(cpu):
+            params = init_params(g)
+            want = jnp.asarray(xq).reshape(2, *g.input_shape)
+            for layer in g.layers[:n]:
+                want = apply_layer(layer, params, want, "xla")
+            off = meta["out_off"]
+            got = np.asarray(flat_fn(jnp.asarray(xq)))[:, off:off + meta["out_lanes"]]
         assert np.array_equal(got, np.asarray(want).reshape(2, -1)), seed
     assert planned >= 4, planned  # the generator must exercise the planner
 
