@@ -10,9 +10,10 @@ from microflow_tpu.parallel import BatchServer
 
 model = models.person_detect()
 server = BatchServer(model, max_batch=256, max_wait_ms=2.0)
-# pre-compile the full-bucket sharded executable and persist it: a
-# restarted server loads it from disk instead of recompiling
-server.warm(256)
+# pre-compile the bucket this demo's traffic actually lands in (16
+# requests x 4 rows coalesce to at most 64) and persist it: a restarted
+# server loads the executable from disk instead of recompiling
+server.warm(64)
 try:
     rng = np.random.default_rng(0)
     futures = [

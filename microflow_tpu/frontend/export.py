@@ -46,16 +46,41 @@ def _pad(geom) -> Padding:
     return Padding.SAME if geom.padding is ViewPadding.SAME else Padding.VALID
 
 
-def _bias_from_c0(c0, bias_q, out_q) -> np.ndarray:
-    """Invert folding.py's C0 (per-channel aware; exact for integral C0
-    sources, nearest-int quantization for trained C0)."""
+def _bias_from_c0(c0, bias_q, out_q, per_channel: bool) -> np.ndarray:
+    """Invert folding.py's C0.
+
+    ``per_channel`` mirrors which quant params the forward fold consumed:
+    conv/dwconv fold with per-index ``.get(i).unwrap_or(arr[0])`` scales
+    (``preprocess_conv_2d``), FC folds every output with ``scale0``/``zp0``
+    (``preprocess_fully_connected``) -- inverting an FC layer with
+    per-index params would recover wrong integers whenever the bias
+    tensor carries per-channel quantization.
+
+    Exactness bound: C0 is computed at parse time in f32 as
+    ``(bias - bias_zp) * (bias_s / out_s)``, one multiply on an exact
+    integer difference, so the relative error is <= 1 ulp and ``round()``
+    recovers the original integer exactly while
+    ``|bias - bias_zp| < 2**23`` (f32 mantissa headroom for a <0.5-LSB
+    absolute error).  All reference models sit orders of magnitude below
+    this; asserted here so a model beyond the bound fails loudly instead
+    of silently exporting shifted integers."""
     c0 = np.asarray(c0, np.float64)
     n = len(c0)
-    bs = np.asarray([bias_q.scale[i] if i < len(bias_q.scale) else bias_q.scale[0]
-                     for i in range(n)], np.float64)
-    bz = np.asarray([bias_q.zero_point[i] if i < len(bias_q.zero_point)
-                     else bias_q.zero_point[0] for i in range(n)], np.int64)
-    vals = np.round(c0 * float(out_q.scale0) / bs).astype(np.int64) + bz
+    if per_channel:
+        bs = np.asarray([bias_q.scale[i] if i < len(bias_q.scale) else bias_q.scale[0]
+                         for i in range(n)], np.float64)
+        bz = np.asarray([bias_q.zero_point[i] if i < len(bias_q.zero_point)
+                         else bias_q.zero_point[0] for i in range(n)], np.int64)
+    else:
+        bs = np.full(n, float(bias_q.scale0), np.float64)
+        bz = np.full(n, int(bias_q.zp0), np.int64)
+    diff = c0 * float(out_q.scale0) / bs  # ~ (bias - bias_zp)
+    if np.any(np.abs(diff) >= 2**23):
+        raise ValueError(
+            "bias magnitude exceeds the f32 exact-roundtrip bound (|bias - "
+            "bias_zp| >= 2**23); exported integers would drift from the "
+            "parsed model")
+    vals = np.round(diff).astype(np.int64) + bz
     return np.clip(vals, np.iinfo(np.int32).min, np.iinfo(np.int32).max).astype(np.int32)
 
 
@@ -84,7 +109,7 @@ def export_tflite(graph: Graph, params: dict | None = None,
             w = np.asarray(w if w is not None else layer.weights)
             c0 = _param(params, layer, "c0")
             c0 = c0 if c0 is not None else layer.c0
-            bias = _bias_from_c0(c0, layer.bias_q, layer.out_q)
+            bias = _bias_from_c0(c0, layer.bias_q, layer.out_q, per_channel=False)
             t_w = m.tensor(list(w.T.shape), _TT[w.dtype], layer.w_q.scale,
                            layer.w_q.zero_point, data=w.T, name="fc_w")
             t_b = m.tensor([len(bias)], TensorType.INT32, layer.bias_q.scale,
@@ -98,7 +123,7 @@ def export_tflite(graph: Graph, params: dict | None = None,
             w = np.asarray(w if w is not None else layer.filters)
             c0 = _param(params, layer, "c0")
             c0 = c0 if c0 is not None else layer.c0
-            bias = _bias_from_c0(c0, layer.bias_q, layer.out_q)
+            bias = _bias_from_c0(c0, layer.bias_q, layer.out_q, per_channel=True)
             t_w = m.tensor(list(w.shape), _TT[w.dtype], layer.w_q.scale,
                            layer.w_q.zero_point, data=w, name="conv_w")
             t_b = m.tensor([len(bias)], TensorType.INT32, layer.bias_q.scale,
@@ -114,7 +139,7 @@ def export_tflite(graph: Graph, params: dict | None = None,
             w = np.asarray(w if w is not None else layer.weights)  # [KH, KW, CH]
             c0 = _param(params, layer, "c0")
             c0 = c0 if c0 is not None else layer.c0
-            bias = _bias_from_c0(c0, layer.bias_q, layer.out_q)
+            bias = _bias_from_c0(c0, layer.bias_q, layer.out_q, per_channel=True)
             # per-channel dw quantizes along the channel axis of the
             # tflite [1, KH, KW, CH] layout (quantized_dimension=3,
             # the legacy person_detect convention)

@@ -107,15 +107,24 @@ class BatchServer:
                     break
                 batch.append(item)
                 total += item[0].shape[0]
-            xs = np.concatenate([b[0] for b in batch])
-            bucket = self._bucket(xs.shape[0])
-            pad = bucket - xs.shape[0] if xs.shape[0] < bucket else 0
-            if pad:
-                xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
+            xs_all = np.concatenate([b[0] for b in batch])
             try:
-                pfn = self._warmed.get(bucket, self._predict)
-                ys = pfn(self.params, jax.device_put(xs))
-                ys = np.asarray(ys)
+                # Dispatch in chunks of at most max_batch: coalescing can
+                # overshoot (request sizes needn't divide the window, and
+                # a single request may exceed max_batch), and a warmed
+                # executable is shape-specialized to its bucket -- every
+                # dispatched batch is padded to exactly one bucket so the
+                # warmed path always applies.
+                outs = []
+                for start in range(0, xs_all.shape[0], self.max_batch):
+                    xs = xs_all[start : start + self.max_batch]
+                    n = xs.shape[0]
+                    bucket = self._bucket(n)
+                    if n < bucket:
+                        xs = np.concatenate([xs, np.repeat(xs[-1:], bucket - n, axis=0)])
+                    pfn = self._warmed.get(bucket, self._predict)
+                    outs.append((pfn(self.params, jax.device_put(xs)), n))
+                ys = np.concatenate([np.asarray(y)[:n] for y, n in outs])
                 off = 0
                 for xq, fut in batch:
                     n = xq.shape[0]

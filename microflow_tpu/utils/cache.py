@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-import pickle
+import struct
 
 
 def enable_compile_cache(path: str | None = None, min_compile_secs: float = 10.0) -> str:
@@ -113,7 +113,14 @@ def cached_executable(fn, *args, name: str = "fn", path: str | None = None,
     if os.path.exists(fpath):
         try:
             with open(fpath, "rb") as f:
-                payload, in_tree, out_tree = pickle.load(f)
+                payload, in_tree, out_tree = _decode_entry(f.read())
+            # touch on hit so _prune_executables approximates LRU --
+            # mtime-only eviction is FIFO and can drop the hottest
+            # (slowest-to-compile) entry under churn
+            try:
+                os.utime(fpath)
+            except OSError:
+                pass
             # pin execution devices: the loader otherwise spreads over
             # every local device (wrong under a forced multi-device
             # host when the program was compiled single-device)
@@ -126,12 +133,49 @@ def cached_executable(fn, *args, name: str = "fn", path: str | None = None,
         payload, in_tree, out_tree = se.serialize(compiled)
         tmp = fpath + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            pickle.dump((payload, in_tree, out_tree), f)
+            f.write(_encode_entry(payload, in_tree, out_tree))
         os.replace(tmp, fpath)
         _prune_executables(cdir)
     except Exception:
         pass  # backend without executable serialization: cache skipped
     return compiled
+
+
+# Cache entries hold three byte blobs: the serialized executable payload
+# and the two PyTreeDefs as protos (jaxlib's serialize_using_proto).
+# Deliberately NOT pickle: the cache dir is repo-local (or user-pointed
+# via MFT_CACHE_DIR), and a pickle loader would hand anyone who can
+# write there arbitrary code execution in every process that warms --
+# the same reason JAX's own persistent cache avoids pickle.
+_ENTRY_MAGIC = b"MFTX1\0"
+
+
+def _encode_entry(payload: bytes, in_tree, out_tree) -> bytes:
+    blobs = (bytes(payload), in_tree.serialize_using_proto(),
+             out_tree.serialize_using_proto())
+    out = [_ENTRY_MAGIC]
+    for b in blobs:
+        out.append(struct.pack("<Q", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def _decode_entry(data: bytes):
+    if not data.startswith(_ENTRY_MAGIC):
+        raise ValueError("not a cache entry (pre-round-4 pickle format?)")
+    from jax import tree_util as tu
+
+    off = len(_ENTRY_MAGIC)
+    blobs = []
+    for _ in range(3):
+        (n,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        blobs.append(data[off : off + n])
+        off += n
+    treedef_cls = type(tu.tree_structure(0))
+    return (blobs[0],
+            treedef_cls.deserialize_using_proto(tu.default_registry, blobs[1]),
+            treedef_cls.deserialize_using_proto(tu.default_registry, blobs[2]))
 
 
 _MAX_EXECUTABLES = 24  # ~100 MB each for the flat kernel: cap ~2.5 GB

@@ -162,6 +162,29 @@ def test_shard_params_replicate_policy(sine):
             assert arr.sharding.is_fully_replicated, (key, name)
 
 
+def test_batch_server_oversize_coalesce_with_warm(sine):
+    """Coalescing can overshoot max_batch (request sizes needn't divide
+    the window; one request may exceed max_batch outright).  A warmed
+    bucket executable is shape-specialized, so the admission loop must
+    chunk dispatches to the bucket size instead of feeding it an
+    oversize batch (round-3 advisor high: warm(256) + two 200-row
+    submits raised a shape-mismatch on every waiter)."""
+    server = BatchServer(sine, max_batch=16, max_wait_ms=50.0)
+    try:
+        server.warm(16, cache=False)
+        xs = np.linspace(-1.0, 1.0, 28, dtype=np.float32).reshape(-1, 1)
+        # two 14-row submits coalesce to 28 > max_batch=16
+        futs = [server.submit(xs[:14]), server.submit(xs[14:])]
+        got = np.concatenate([f.result(timeout=60) for f in futs])
+        np.testing.assert_array_equal(got, np.asarray(sine.predict(xs)))
+        # a single request larger than max_batch must also be served
+        big = np.linspace(0.0, 2.0, 40, dtype=np.float32).reshape(-1, 1)
+        got_big = server.submit(big).result(timeout=60)
+        np.testing.assert_array_equal(got_big, np.asarray(sine.predict(big)))
+    finally:
+        server.stop()
+
+
 def test_batch_server_warm_sharded_executable(sine, tmp_path, monkeypatch):
     """warm(bucket) pre-compiles the mesh-sharded predict through the
     engine's executable cache; warmed dispatch is bit-identical, and a

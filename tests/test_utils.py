@@ -105,6 +105,34 @@ def test_cached_executable_roundtrip(tmp_path):
         assert len(entries) == 1
 
 
+def test_cached_executable_entries_are_not_pickle(tmp_path):
+    """Cache entries are length-prefixed blobs (payload + treedef
+    protos), never pickle: a writable cache dir must not grant code
+    execution to whoever can write it (round-3 advisor).  Entries in
+    the old pickle format (no magic) fall back to a fresh compile."""
+    from microflow_tpu.utils import cached_executable
+    from microflow_tpu.utils.cache import _ENTRY_MAGIC
+
+    def f(a):
+        return a * 2 + 1
+
+    a = jnp.arange(8, dtype=jnp.float32)
+    c1 = cached_executable(f, a, name="np", path=str(tmp_path))
+    entries = [e for e in os.listdir(tmp_path) if e.startswith("exe_np-")]
+    if not entries:  # backend without executable serialization
+        return
+    fpath = os.path.join(tmp_path, entries[0])
+    with open(fpath, "rb") as fh:
+        data = fh.read()
+    assert data.startswith(_ENTRY_MAGIC)
+    assert b"pickle" not in data[:256]
+    # corrupt / legacy-format entry: loader must recompile, not crash
+    with open(fpath, "wb") as fh:
+        fh.write(b"\x80\x04legacy-pickle-junk")
+    c2 = cached_executable(f, a, name="np", path=str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(c1(a)), np.asarray(c2(a)))
+
+
 def test_model_warm_dispatch(tmp_path, monkeypatch):
     """CompiledModel.warm(b): predict at batch b routes through the
     warmed (and disk-cached) executable with bit-identical results."""
