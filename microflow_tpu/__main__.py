@@ -153,7 +153,7 @@ def main(argv=None):
     p.add_argument("--input", help=".npy file (reshaped to [batch, *input_shape])")
     p.add_argument("--fill", type=float, default=0.5, help="constant input value")
     p.add_argument("--batch", type=int, default=1)
-    p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "fused", "hybrid", "packed", "flat"])
+    p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "flat", "fused", "hybrid", "packed"])
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
@@ -161,7 +161,7 @@ def main(argv=None):
     # bench.py's measured defaults (docs/PERFORMANCE.md batch sweep)
     p.add_argument("--batch", type=int, default=49152)
     p.add_argument("--iters", type=int, default=200)
-    p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "fused", "hybrid", "packed", "flat"])
+    p.add_argument("--backend", default=None, choices=[None, "xla", "pallas", "flat", "fused", "hybrid", "packed"])
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("train", help="run an on-device training loop")

@@ -242,47 +242,57 @@ def apply_layer(layer, params: dict, x: jax.Array, backend: str = "xla") -> jax.
     raise TypeError(f"unknown layer {type(layer)}")
 
 
-BACKENDS = frozenset({"auto", "xla", "pallas", "fused", "hybrid", "flat", "packed"})
+# Supported backends: the production matrix.  Any change to ops/,
+# kernels/, compiler/folding.py, or core/numerics.py must keep THESE
+# green (CLAUDE.md invariant).
+BACKENDS = frozenset({"auto", "xla", "pallas", "flat"})
+
+# Experimental backends: measured losers kept as design witnesses
+# (Mosaic-legality notes in their module docstrings; postmortems in
+# docs/PERFORMANCE.md items 2/5/7).  Constructible on request, parity
+# tests gated behind MFT_TEST_EXPERIMENTAL=1, excluded from the
+# supported matrix, parity.csv, and the ops/-change invariant.
+EXPERIMENTAL_BACKENDS = frozenset({"fused", "hybrid", "packed"})
+
+ALL_BACKENDS = BACKENDS | EXPERIMENTAL_BACKENDS
 
 
 def default_backend() -> str:
     """Backend selection.
 
-    * ``fused`` -- the whole-model Pallas megakernel
-      (``kernels/megakernel.py``): one VMEM-resident pass per batch block,
-      weights resident across grid steps.  Chosen whenever the graph
-      qualifies; on v5e it is HBM-optimal for MicroFlow-class models.
+    Supported set (``BACKENDS``):
+
+    * ``auto`` (default; override with env ``MFT_BACKEND``) -- on TPU,
+      graphs WITH conv layers that flat-pack get the flat whole-network
+      kernel; everything else (incl. pure-FC graphs like sine) gets
+      ``xla``.  Measured on v5e (scripts/ab_flat.py, round 3): flat is
+      1.118x XLA on person_detect at tb=768 and 1.87x on speech (the dw
+      C=8 layer escapes NHWC tile padding), but 0.56x on sine (3 tiny
+      matmuls; K=1 rows waste 128-wide windows), hence the conv gate.
+    * ``flat`` -- the flat-sample whole-network Pallas kernel
+      (``kernels/flatpack.py``): batch on sublanes, the whole sample on
+      lanes; one ``pallas_call`` covers every layer incl. pool/FC/softmax.
+      The production path on TPU for conv graphs; bit-exact.
     * ``xla`` -- exact integer ops lowered by XLA (int8 lax.conv + fused
-      requant epilogues).  Fallback for non-fusable graphs, and the parity
-      oracle the fused/pallas backends are tested against.
+      requant epilogues).  The parity oracle every other backend is
+      tested against, and the fallback for non-packable graphs.
     * ``pallas`` -- per-op fused kernels (qgemm/qdwconv), bit-identical;
-      kept for op-level use and comparison.
+      kept for op-level use and comparison (~2.8x slower end-to-end).
 
-    * ``flat`` -- the flat-sample whole-network kernel
-      (``kernels/flatpack.py``): statistical parity with xla on v5e
-      (708-725k vs 708-744k person_detect inf/s, round 2); bit-exact.
-    * ``packed`` -- EXPERIMENTAL, unsupported: the WC-packed guard-row
-      kernel (304k; superseded by ``flat``, postmortem in
-      docs/PERFORMANCE.md).  Kept as a design witness only; excluded
-      from the supported matrix and the parity invariant.
-
-    Default ``auto`` (override with env ``MFT_BACKEND``): on TPU,
-    packable graphs WITH conv layers get the flat whole-network kernel
-    -- measured round 3 at ~15-20% faster than the XLA path on
-    person_detect and 1.87x on speech (exact2 requant,
-    docs/PERFORMANCE.md "Round 3") -- and everything else (incl.
-    pure-FC graphs like sine, where XLA is 1.8x faster than flat)
-    falls back to ``xla``, which needs no packability gate and remains
-    the parity oracle.  Measured order on v5e conv models: flat > xla >
-    hybrid > pallas > packed > fused.
+    Experimental set (``EXPERIMENTAL_BACKENDS``; measured losers, kept
+    as design witnesses -- docs/PERFORMANCE.md): ``fused`` (whole-model
+    VMEM megakernel, 16x slower -- Mosaic lane waste on small C),
+    ``hybrid`` (XLA prefix + megakernel tail, 2x slower), ``packed``
+    (WC-packed guard-row pipeline, 2.4x slower).
     """
     import os
 
     backend = os.environ.get("MFT_BACKEND", "auto")
-    if backend not in BACKENDS:
+    if backend not in ALL_BACKENDS:
         raise ValueError(
             f"MFT_BACKEND={backend!r} is not a known backend; "
-            f"choose one of {sorted(BACKENDS)}"
+            f"choose one of {sorted(BACKENDS)} "
+            f"(experimental: {sorted(EXPERIMENTAL_BACKENDS)})"
         )
     return backend
 
@@ -293,9 +303,10 @@ class CompiledModel:
     def __init__(self, graph: Graph, backend: str | None = None):
         self.graph = graph
         self.backend = backend or default_backend()
-        if self.backend not in BACKENDS:
+        if self.backend not in ALL_BACKENDS:
             raise ValueError(
-                f"unknown backend {self.backend!r}; choose one of {sorted(BACKENDS)}"
+                f"unknown backend {self.backend!r}; choose one of "
+                f"{sorted(BACKENDS)} (experimental: {sorted(EXPERIMENTAL_BACKENDS)})"
             )
         self._fused_forward = None
         self._packed = None

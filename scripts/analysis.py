@@ -138,7 +138,7 @@ def parity_report():
         ref = compile_tflite(path, backend="xla")
         xq = rng.integers(-128, 128, shape, dtype=np.int8)
         base = np.asarray(ref.predict_inner(xq)).astype(np.int32)
-        for backend in ("pallas", "fused", "flat"):
+        for backend in ("pallas", "flat"):
             try:
                 alt = compile_tflite(path, backend=backend)
             except ValueError:

@@ -96,6 +96,14 @@ def test_pallas_backend_person_detect_golden():
     assert np.array_equal(out, np.array([[0.8046875, 0.1953125]], np.float32))
 
 
+experimental = pytest.mark.skipif(
+    not os.environ.get("MFT_TEST_EXPERIMENTAL"),
+    reason="fused backend is experimental (measured loser, kept as a design "
+    "witness -- docs/PERFORMANCE.md); set MFT_TEST_EXPERIMENTAL=1",
+)
+
+
+@experimental
 @pytest.mark.parametrize("model,make_input,expected", [
     ("sine", lambda: np.array([[0.5]], np.float32), [[0.41348344]]),
     ("speech", lambda: np.full((2, 1960), 0.5, np.float32),
@@ -108,6 +116,7 @@ def test_fused_megakernel_model_golden(model, make_input, expected):
     assert np.array_equal(out, np.array(expected, np.float32))
 
 
+@experimental
 @pytest.mark.slow
 def test_fused_megakernel_person_detect_golden():
     m = compile_tflite(os.path.join(MODELS, "person_detect.tflite"), backend="fused")

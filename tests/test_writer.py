@@ -145,7 +145,7 @@ def test_full_ops_model_quantize_op(fullops_path):
 
 def test_full_ops_cross_backend(fullops_path):
     ref = build(parser.parse(fullops_path), backend="xla")
-    alt = build(parser.parse(fullops_path), backend="fused")
+    alt = build(parser.parse(fullops_path), backend="pallas")
     x = np.random.default_rng(3).uniform(-1, 1, (3, 8, 8, 2)).astype(np.float32)
     assert np.array_equal(np.asarray(ref.predict(x)), np.asarray(alt.predict(x)))
 
@@ -207,7 +207,7 @@ def test_per_channel_quantization_roundtrip(tmp_path):
     except Exception:
         pass  # native front-end optional
     ref = build(g)
-    alt = build(parser.parse(path), backend="fused")
+    alt = build(parser.parse(path), backend="pallas")
     x = np.random.default_rng(6).uniform(-1, 1, (4, 6, 6, 4)).astype(np.float32)
     a, b = np.asarray(ref.predict(x)), np.asarray(alt.predict(x))
     assert np.array_equal(a, b)
