@@ -168,3 +168,39 @@ def accumulate_gradient_2d(current, accum_i32):
 def accumulate_gradient_4d(current, accum_i32):
     """Saturating i32 accumulation (``update_layer.rs:273-294``)."""
     return saturating_add_i32(accum_i32, current.astype(jnp.int32))
+
+
+def accumulate_gradient_4d_batch(dW_b, accum_i32):
+    """Batch-order saturating accumulation of per-sample gradients:
+    the vectorized-exact form of folding ``accumulate_gradient_4d``
+    over the sample axis in batch order (the reference's per-sample
+    ``accumulate_gradient_4D`` calls, ``update_layer.rs:273-294``,
+    driven one sample at a time by ``examples/speech_train.rs:76-93``).
+
+    Saturating addition is order-dependent ONLY when a clamp fires.
+    Every prefix of the fold is checked with wrapping i32 arithmetic
+    (associative, so the prefix sums vectorize as one cumsum): step j
+    overflows iff ``sign(s_{j-1}) == sign(d_j)`` and
+    ``sign(s_j) != sign(d_j)``, where ``s_{j-1} = s_j - d_j`` wraps
+    back exactly.  If no step overflows, no clamp ever fired and the
+    saturating fold equals the last wrapping prefix sum; otherwise
+    ``lax.cond`` falls back to the reference's serial fold.  Bit-exact
+    in both branches; the fast branch removes the length-B serial
+    dependency chain from the train step (docs/PERFORMANCE.md round 4).
+    """
+    d = dW_b.astype(jnp.int32)
+    acc = accum_i32.astype(jnp.int32)
+    cs = acc[None] + jnp.cumsum(d, axis=0)  # wrapping prefix sums
+    prev = cs - d  # wrapping inverse: s_{j-1}
+    step_overflow = ((prev >= 0) == (d >= 0)) & ((cs >= 0) != (d >= 0))
+    ok = ~jnp.any(step_overflow)
+
+    def fast(_):
+        return cs[-1]
+
+    def slow(_):
+        return lax.fori_loop(
+            0, d.shape[0], lambda i, a: saturating_add_i32(a, d[i]), acc
+        )
+
+    return lax.cond(ok, fast, slow, None)

@@ -203,11 +203,9 @@ class TrainableModel(CompiledModel):
                     x_in, y_out, g
                 )
                 # per-sample saturating accumulation, in batch order
-                lg["weights_gradient"] = jax.lax.fori_loop(
-                    0,
-                    dW_b.shape[0],
-                    lambda i, acc: optimizer.accumulate_gradient_4d(dW_b[i], acc),
-                    lg["weights_gradient"],
+                # (vectorized-exact; serial fallback only if a clamp fires)
+                lg["weights_gradient"] = optimizer.accumulate_gradient_4d_batch(
+                    dW_b, lg["weights_gradient"]
                 )
                 # conv bias update is disabled in the reference
                 # (gradient_conv_2d.rs:63 commented out)
@@ -224,11 +222,8 @@ class TrainableModel(CompiledModel):
                 dW_b, bias_b, g = jax.vmap(lambda xi, yi, gi: fn(xi, yi, d_out=gi))(
                     x_in, y_out, g
                 )
-                lg["weights_gradient"] = jax.lax.fori_loop(
-                    0,
-                    dW_b.shape[0],
-                    lambda i, acc: optimizer.accumulate_gradient_4d(dW_b[i], acc),
-                    lg["weights_gradient"],
+                lg["weights_gradient"] = optimizer.accumulate_gradient_4d_batch(
+                    dW_b, lg["weights_gradient"]
                 )
                 lg["c0_gradient"] = lg["c0_gradient"] + jnp.sum(bias_b, axis=0)
             elif isinstance(layer, AveragePool2DLayer):

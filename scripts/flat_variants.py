@@ -4,8 +4,9 @@
 Isolates the round-3 levers: phase offsets (MXU window alignment) and
 VPU tap ops (dw off the MXU).  Times ONLY the pallas kernel (input
 bump-chained, host readback barrier), full-model plan, per variant.
-Usage: flat_variants.py [B] [ITERS] [tb] [variants...]
+Usage: flat_variants.py [B] [ITERS] [tb] [variants...] [--model PATH]
   variants: ot (offsets+taps) o- (offsets only) -- (neither) -t (taps only)
+  modifiers: ':requant' '@tb' '#depth' '%slack' '!group_n'
 """
 
 import os
@@ -22,12 +23,17 @@ from microflow_tpu.frontend.parser import parse
 from microflow_tpu.kernels.flatpack import build_flat_kernel
 
 args = sys.argv[1:]
+MODEL = "models/person_detect.tflite"
+if "--model" in args:
+    i = args.index("--model")
+    MODEL = args[i + 1]
+    del args[i : i + 2]
 B = int(args[0]) if args else 6144
 ITERS = int(args[1]) if len(args) > 1 else 50
 TB = int(args[2]) if len(args) > 2 else 256
 names = args[3:] or ["ot", "o-", "--"]
 
-graph = parse("models/person_detect.tflite")
+graph = parse(MODEL)
 # variant key: offsets/taps pair, optionally ':<requant>' (exact, raw,
 # fixed), '@<tb>' overriding the batch tile, '#<depth>' the software
 # pipeline depth

@@ -50,6 +50,86 @@ def test_accumulate_gradient_4d_saturates():
     assert int(out[0]) == 2**31 - 1
 
 
+def test_accumulate_gradient_4d_batch_matches_serial_fold():
+    """The vectorized batch accumulation must equal the reference's
+    per-sample saturating fold bit-for-bit -- in the common no-overflow
+    case (fast branch) AND when intermediate prefixes clamp (serial
+    fallback), including non-commutative orders like saturate-then-
+    subtract where the plain sum would differ."""
+    rng = np.random.default_rng(5)
+
+    def serial(dw_b, acc):
+        out = acc
+        for i in range(dw_b.shape[0]):
+            out = optimizer.accumulate_gradient_4d(dw_b[i], out)
+        return np.asarray(out)
+
+    # fast branch: moderate values, random accumulator
+    dw_b = jnp.asarray(rng.integers(-(2**20), 2**20, (64, 3, 2, 4), np.int64),
+                       jnp.int32)
+    acc = jnp.asarray(rng.integers(-(2**24), 2**24, (3, 2, 4), np.int64),
+                      jnp.int32)
+    got = np.asarray(optimizer.accumulate_gradient_4d_batch(dw_b, acc))
+    assert np.array_equal(got, serial(dw_b, acc))
+
+    # slow branch: a prefix saturates, then backs off -- the saturating
+    # fold gives MAX - 5 where the plain sum would wrap/differ
+    dw_b2 = jnp.array([[2**30], [2**30], [2**30], [-5]], jnp.int32)
+    acc2 = jnp.zeros((1,), jnp.int32)
+    got2 = np.asarray(optimizer.accumulate_gradient_4d_batch(dw_b2, acc2))
+    assert np.array_equal(got2, serial(dw_b2, acc2))
+    assert int(got2[0]) == 2**31 - 1 - 5
+
+    # negative-side saturation
+    dw_b3 = jnp.array([[-(2**30)], [-(2**30)], [-(2**30)], [7]], jnp.int32)
+    got3 = np.asarray(optimizer.accumulate_gradient_4d_batch(dw_b3, acc2))
+    assert np.array_equal(got3, serial(dw_b3, acc2))
+    assert int(got3[0]) == -(2**31) + 7
+
+
+def test_trainer_batched_accum_matches_serial_end_to_end(tmp_path):
+    """Full conv/dwconv train steps produce bit-identical gradient state
+    under the batched accumulation and the reference's literal serial
+    fold (monkeypatched back in)."""
+    import jax
+
+    from microflow_tpu.frontend import parser
+    from microflow_tpu.models import synth
+    from microflow_tpu.train.trainer import TrainableModel
+
+    path = str(tmp_path / "lenet.tflite")
+    synth.write(path, synth.lenet())
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (5, 28, 28, 1)).astype(np.float32)
+    gt_f = rng.uniform(0, 1, 5).astype(np.float32)
+
+    def run(serial: bool):
+        orig = optimizer.accumulate_gradient_4d_batch
+        if serial:
+            optimizer.accumulate_gradient_4d_batch = lambda dw_b, acc: (
+                jax.lax.fori_loop(
+                    0, dw_b.shape[0],
+                    lambda i, a: optimizer.accumulate_gradient_4d(dw_b[i], a),
+                    acc))
+        try:
+            m = TrainableModel(parser.parse(path), 7, "crossentropy", True)
+            gt = m.quantize_target(
+                np.broadcast_to(gt_f[:, None], (5, *m.graph.output_shape)))
+            for _ in range(2):
+                m.predict_train(x, gt, 0.01)
+            return jax.tree_util.tree_map(np.asarray, m.grads)
+        finally:
+            optimizer.accumulate_gradient_4d_batch = orig
+
+    a = run(False)
+    b = run(True)
+    flat_a, _ = jax.tree_util.tree_flatten(a)
+    flat_b, _ = jax.tree_util.tree_flatten(b)
+    assert any(np.any(leaf != 0) for leaf in flat_a)  # gradients flowed
+    for la, lb in zip(flat_a, flat_b):
+        assert np.array_equal(la, lb)
+
+
 def test_mse_grad():
     p = jnp.array([[10, -5]], jnp.int8)
     t = jnp.array([[7, -1]], jnp.int8)
