@@ -111,6 +111,74 @@ def test_export_roundtrip_uint8(tmp_path):
         np.asarray(m.predict_inner(xq)), np.asarray(m2.predict_inner(xq)))
 
 
+def _interpreter():
+    try:
+        from ai_edge_litert.interpreter import Interpreter
+    except ImportError:
+        tf = pytest.importorskip("tensorflow")
+        Interpreter = tf.lite.Interpreter
+    return Interpreter
+
+
+def test_export_trained_lenet_runs_in_official_tflite(tmp_path):
+    """Conv-model interop: a TRAINED lenet (conv/pool/fc, stride-1 SAME)
+    exported by the engine runs in the official TFLite runtime within
+    1 LSB of the engine's own quantized outputs (sine-only until round 4;
+    certifies the conv/dwconv/avgpool writer paths end-to-end after the
+    update_layers weight mutation, not just the FC one)."""
+    from microflow_tpu.models import synth
+    from microflow_tpu.train import compile_tflite_train
+
+    Interpreter = _interpreter()
+    path = synth.write(str(tmp_path / "lenet.tflite"), synth.lenet())
+    t = compile_tflite_train(path, 3, "crossentropy", True, name="lenet_x")
+    x = rng.uniform(-1, 1, (64, 12, 12, 1)).astype(np.float32)
+    gtq = t.quantize_target(np.eye(10, dtype=np.float32)[rng.integers(0, 10, 64)])
+    for _ in range(3):
+        t.predict_train(x, gtq, 0.05)
+        t.update_layers(batch_size=64, learning_rate=0.05)
+    data = t.export()
+    out_path = str(tmp_path / "lenet_trained.tflite")
+    with open(out_path, "wb") as f:
+        f.write(data)
+    m2 = compile_tflite(out_path, name="lenet_trained_rt")
+    interp = Interpreter(model_content=data)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    worst = 0
+    for _ in range(8):
+        xq = rng.integers(-128, 128, (1, 12, 12, 1), dtype=np.int8)
+        interp.set_tensor(inp["index"], xq)
+        interp.invoke()
+        want = interp.get_tensor(out["index"]).astype(np.int32)
+        got = np.asarray(m2.predict_inner(xq)).astype(np.int32)
+        worst = max(worst, int(np.abs(got - want).max()))
+    assert worst <= 1, f"max deviation {worst} LSB vs official TFLite"
+
+
+def test_person_detect_legacy_quant_rejected_but_export_loads(tmp_path):
+    """The REFERENCE's person_detect.tflite is rejected by modern TFLite
+    runtimes: its legacy converter put per-channel quant params
+    (quantized_dimension=3) on rank-1 bias tensors, violating the
+    qd < rank check (documented in SURVEY.md hard part (c); the schema
+    surface is ``microflow-macros/flatbuffers/tflite.fbs:28``).  The
+    engine's parser accepts the legacy layout; its EXPORT of the same
+    graph normalizes bias quant to per-tensor (scale0/zp0, mirroring
+    preprocess folding) while keeping qd=3 on the rank-4 dw weights --
+    so the exported bytes load and allocate in the official runtime."""
+    Interpreter = _interpreter()
+    legacy = os.path.join(MODELS, "person_detect.tflite")
+    with pytest.raises(ValueError, match="quantized_dimension"):
+        interp = Interpreter(model_path=legacy)
+        interp.allocate_tensors()
+
+    m = compile_tflite(legacy, name="pd_interop")
+    interp = Interpreter(model_content=m.export())
+    interp.allocate_tensors()  # must not raise
+    assert interp.get_input_details()[0]["shape"].tolist() == [1, 96, 96, 1]
+
+
 def test_export_rejects_unsupported_layer():
     """Failure detection: a graph with a layer type export cannot emit
     raises with a clear message instead of writing a corrupt file."""
