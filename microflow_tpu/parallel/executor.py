@@ -75,6 +75,18 @@ class BatchServer:
         self._queue.put((xq, fut))
         return fut
 
+    def submit_quantized(self, xq) -> Future:
+        """Enqueue an already-quantized [b, *input_shape] request (engine
+        input dtype); resolves to the f32 output batch like ``submit``.
+        Accepts host numpy or a device-resident ``jax.Array`` --
+        device-resident requests are coalesced and padded on device, so
+        the admission path ships no bulk request bytes host->device
+        (the serving analog of ``predict_quantized``; also what the
+        engine-overhead measurement in scripts/analysis.py drives)."""
+        fut: Future = Future()
+        self._queue.put((xq, fut))
+        return fut
+
     def predict(self, x: np.ndarray) -> np.ndarray:
         return self.submit(x).result()
 
@@ -107,7 +119,13 @@ class BatchServer:
                     break
                 batch.append(item)
                 total += item[0].shape[0]
-            xs_all = np.concatenate([b[0] for b in batch])
+            # device-resident requests (submit_quantized with jax.Array)
+            # are coalesced/padded with jnp on device -- the admission
+            # path then moves no bulk request bytes over PCIe/host links
+            on_device = any(isinstance(b[0], jax.Array) for b in batch)
+            xp = jax.numpy if on_device else np
+            xs_all = (xp.concatenate([b[0] for b in batch])
+                      if len(batch) > 1 else batch[0][0])
             try:
                 # Dispatch in chunks of at most max_batch: coalescing can
                 # overshoot (request sizes needn't divide the window, and
@@ -121,9 +139,11 @@ class BatchServer:
                     n = xs.shape[0]
                     bucket = self._bucket(n)
                     if n < bucket:
-                        xs = np.concatenate([xs, np.repeat(xs[-1:], bucket - n, axis=0)])
+                        xs = xp.concatenate(
+                            [xs, xp.repeat(xs[-1:], bucket - n, axis=0)])
                     pfn = self._warmed.get(bucket, self._predict)
-                    outs.append((pfn(self.params, jax.device_put(xs)), n))
+                    xs = xs if on_device else jax.device_put(xs)
+                    outs.append((pfn(self.params, xs), n))
                 ys = np.concatenate([np.asarray(y)[:n] for y, n in outs])
                 off = 0
                 for xq, fut in batch:

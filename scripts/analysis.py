@@ -213,7 +213,7 @@ def serving_sweep(cases=None):
               f"{inf_s:12,.0f} inf/s  p50 {p50:.1f} ms  p99 {p99:.1f} ms",
               file=sys.stderr)
 
-    with open(os.path.join(OUT, "serving.csv"), "w", newline="") as f:
+    with open(os.path.join(OUT, "serving_tunnel.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["model", "n_requests", "bucket",
                     "requests_per_s", "inferences_per_s", "p50_ms", "p99_ms"])
@@ -222,11 +222,135 @@ def serving_sweep(cases=None):
                         f"{r[5]:.2f}", f"{r[6]:.2f}"])
 
 
+def serving_engine_sweep(cases=None):
+    """BatchServer ADMISSION overhead, transfer/tunnel excluded (round-4
+    VERDICT task 3) -> ``serving.csv``.
+
+    Requests are pre-staged DEVICE-RESIDENT quantized tensors driven
+    through ``submit_quantized``, so the measured loop is exactly the
+    engine's own serving machinery: queue handoff, coalescing, on-device
+    bucket padding, warmed-executable dispatch, result readback, Future
+    resolution.  The baseline (``sync_loop``) performs the identical
+    device work with zero admission machinery -- the same warmed
+    executable on the same pre-staged bucket, one np.asarray readback
+    per cycle.  Both paths pay the same relay RTT and compute, so
+    ``admission_overhead_pct = server/sync_loop - 1`` is the engine's
+    own cost (the number the north star's continuous-admission clause
+    asks for).  ``chained_inf_per_s`` is bench.py's device-resident
+    no-readback compute reference at the same batch.
+
+    Two request mixes per model: requests == bucket (pure dispatch) and
+    requests == bucket/4 (coalesce of 4 + device-side concat live).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from microflow_tpu import compile_tflite
+    from microflow_tpu.parallel import BatchServer
+    from microflow_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    if cases is None:
+        cases = [
+            ("person_detect", (96, 96, 1), 6144, 24),
+            ("speech", (1960,), 8192, 24),
+        ]
+    rows = []
+    for name, shape, bucket, n_cycles in cases:
+        model = compile_tflite(os.path.join(ROOT, "models", f"{name}.tflite"),
+                               name=name)
+        server = BatchServer(model, max_batch=bucket, max_wait_ms=2.0)
+        try:
+            exe = server.warm(bucket)
+            rng = np.random.default_rng(11)
+            xq_b = jax.device_put(jnp.asarray(rng.integers(
+                -128, 128, (bucket, *shape), np.int64), jnp.int8))
+            xq_q = jax.device_put(jnp.asarray(rng.integers(
+                -128, 128, (bucket // 4, *shape), np.int64), jnp.int8))
+            server.submit_quantized(xq_b).result(timeout=600)  # end-to-end warm
+
+            # sync baseline: identical device work, no admission machinery
+            def sync_cycle():
+                np.asarray(exe(server.params, xq_b))
+
+            sync_cycle()
+            t0 = time.time()
+            for _ in range(n_cycles):
+                sync_cycle()
+            t_sync = (time.time() - t0) / n_cycles
+
+            # chained compute reference (bench.py methodology, no
+            # per-cycle readback)
+            def chain(params, x):
+                y = model._forward(params, x)
+                bump = y.reshape(y.shape[0], -1)[:, :1]
+                bump = bump.reshape(bump.shape + (1,) * (x.ndim - bump.ndim))
+                return (x + bump).astype(x.dtype), y
+
+            cfn = jax.jit(chain)
+            x, y = cfn(model.params, xq_b)
+            np.asarray(y)
+            t0 = time.time()
+            for _ in range(n_cycles):
+                x, y = cfn(model.params, x)
+            np.asarray(y[0, 0])
+            t_chain = (time.time() - t0) / n_cycles
+
+            for mode, req, n_req in (("dispatch", xq_b, n_cycles),
+                                     ("coalesce4", xq_q, n_cycles * 4)):
+                t_sub, t_done = [], {}
+                futs = []
+                t0 = time.time()
+                for i in range(n_req):
+                    t_sub.append(time.time())
+                    fut = server.submit_quantized(req)
+                    fut.add_done_callback(
+                        lambda f, i=i: t_done.__setitem__(i, time.time()))
+                    futs.append(fut)
+                for f in futs:
+                    f.result(timeout=600)
+                wall = time.time() - t0
+                t_srv = wall / n_cycles  # per bucket-sized cycle
+                lat = np.asarray([t_done[i] - t_sub[i]
+                                  for i in range(n_req)]) * 1e3
+                over = (t_srv / t_sync - 1.0) * 100.0
+                rows.append((name, mode, bucket, int(req.shape[0]), n_req,
+                             bucket * n_cycles / wall,
+                             bucket / t_sync, bucket / t_chain, over,
+                             float(np.percentile(lat, 50)),
+                             float(np.percentile(lat, 99))))
+                print(f"serve-engine {name:<14} {mode:<9} bucket {bucket}: "
+                      f"server {bucket*n_cycles/wall:12,.0f} inf/s, sync "
+                      f"{bucket/t_sync:12,.0f}, chained {bucket/t_chain:12,.0f}, "
+                      f"admission {over:+.1f}%", file=sys.stderr)
+        finally:
+            server.stop()
+
+    with open(os.path.join(OUT, "serving.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["model", "mode", "bucket", "request_rows", "n_requests",
+                    "server_inf_per_s", "sync_loop_inf_per_s",
+                    "chained_inf_per_s", "admission_overhead_pct",
+                    "p50_ms", "p99_ms", "notes"])
+        note = ("device-resident requests via submit_quantized; overhead "
+                "= server vs identical-work sync loop (relay RTT and "
+                "compute cancel); chained = no-readback compute bound")
+        for r in rows:
+            w.writerow([r[0], r[1], r[2], r[3], r[4], f"{r[5]:.0f}",
+                        f"{r[6]:.0f}", f"{r[7]:.0f}", f"{r[8]:.1f}",
+                        f"{r[9]:.2f}", f"{r[10]:.2f}", note])
+    print(f"wrote {os.path.join(OUT, 'serving.csv')}", file=sys.stderr)
+
+
 if __name__ == "__main__":
+    if "--serving-engine" in sys.argv:
+        serving_engine_sweep()
+        sys.exit(0)
     parity_report()
     latency_sweep()
     train_sweep()
+    serving_engine_sweep()
     # serving_sweep(): opt-in -- relay-bandwidth-bound on this
-    # environment; see its docstring
+    # environment (writes serving_tunnel.csv); see its docstring
     if "--serving" in sys.argv:
         serving_sweep()

@@ -56,6 +56,15 @@ def main():
     devices = jax.devices()
     assert len(devices) >= N_DEVICES, devices
 
+    # Self-describing cells (round-4 VERDICT task 6): the virtual devices
+    # share one host core, so absolute inf/s and cross-n speedup are not
+    # performance numbers here; each row's note says what IS the metric.
+    NOTE_FWD = ("virtual 1-core mesh: metric is overhead at equal total "
+                "work + bit-equality, not absolute inf/s")
+    NOTE_TRAIN = ("virtual 1-core mesh: wall-clock meaningless, "
+                  "unsharded/overhead cells intentionally empty; metric is "
+                  "bit-equality of outputs and updated params")
+
     cases = [("speech", (1960,), 64, 40), ("person_detect", (96, 96, 1), 8, 4)]
     rows = []  # (model, mode, n_devices, per_dev_batch, total, sharded/s,
     #            unsharded/s, overhead_pct, bit_equal, server_bit_equal)
@@ -67,13 +76,26 @@ def main():
             B = per_dev_batch * n
             xq = rng.integers(-128, 128, size=(B, *shape)).astype(np.int8)
 
+            def best_of(fn, reps=3):
+                """min over reps: the 1-core host is contended, so a
+                single rep can read 50%+ high; min-of-3 is stable."""
+                best = None
+                for _ in range(reps):
+                    t0 = time.time()
+                    fn()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                return best / iters
+
             # unsharded reference: same total batch on device 0
             f1 = jax.jit(model._predict_from_quantized, device=devices[0])
             y1 = np.asarray(f1(model.params, xq))
-            t0 = time.time()
-            for _ in range(iters):
-                f1(model.params, xq)[0].block_until_ready()
-            t_un = (time.time() - t0) / iters
+
+            def run_un():
+                for _ in range(iters):
+                    f1(model.params, xq)[0].block_until_ready()
+
+            t_un = best_of(run_un)
 
             # DP-sharded over the n-device mesh
             params = replicate_params(mesh, model.params)
@@ -84,10 +106,12 @@ def main():
             )
             xs = shard_batch(mesh, xq)
             ys = np.asarray(fs(params, xs))
-            t0 = time.time()
-            for _ in range(iters):
-                fs(params, xs)[0].block_until_ready()
-            t_sh = (time.time() - t0) / iters
+
+            def run_sh():
+                for _ in range(iters):
+                    fs(params, xs)[0].block_until_ready()
+
+            t_sh = best_of(run_sh)
 
             bit_equal = bool(np.array_equal(ys, y1))
 
@@ -104,7 +128,8 @@ def main():
             overhead = (t_sh / t_un - 1.0) * 100.0
             rows.append(
                 (name, "dp_forward", n, per_dev_batch, B, f"{B/t_sh:.0f}",
-                 f"{B/t_un:.0f}", f"{overhead:.1f}", bit_equal, server_bit_equal)
+                 f"{B/t_un:.0f}", f"{overhead:.1f}", bit_equal,
+                 server_bit_equal, NOTE_FWD)
             )
             print(
                 f"{name:<14} n={n}: sharded {B/t_sh:>10,.0f} inf/s, unsharded {B/t_un:>10,.0f} "
@@ -122,44 +147,52 @@ def main():
     xq = rng.integers(-128, 128, size=(B, 1960)).astype(np.int8)
     f1 = jax.jit(model._predict_from_quantized, device=devices[0])
     y1 = np.asarray(f1(model.params, xq))
-    t0 = time.time()
-    for _ in range(3):
-        f1(model.params, xq)[0].block_until_ready()
-    t_un = (time.time() - t0) / 3
+
+    def best3(fn):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(3):
+                fn()
+            dt = (time.time() - t0) / 3
+            best = dt if best is None else min(best, dt)
+        return best
+
+    t_un = best3(lambda: f1(model.params, xq)[0].block_until_ready())
     params = replicate_params(mesh, model.params)
     fs = jax.jit(model._predict_from_quantized,
                  in_shardings=(replicated(mesh), batch_sharding(mesh, 2)),
                  out_shardings=batch_sharding(mesh, 2))
     xs = shard_batch(mesh, xq)
     ys = np.asarray(fs(params, xs))
-    t0 = time.time()
-    for _ in range(3):
-        fs(params, xs)[0].block_until_ready()
-    t_sh = (time.time() - t0) / 3
+    t_sh = best3(lambda: fs(params, xs)[0].block_until_ready())
     overhead = (t_sh / t_un - 1.0) * 100.0
     rows.append(("speech", "dp_forward_serving", n, per_dev, B, f"{B/t_sh:.0f}",
                  f"{B/t_un:.0f}", f"{overhead:.1f}",
-                 bool(np.array_equal(ys, y1)), ""))
+                 bool(np.array_equal(ys, y1)), "", NOTE_FWD))
     print(f"speech serving n={n} B={B}: overhead {overhead:+.1f}%, "
           f"bit_equal={np.array_equal(ys, y1)}", file=sys.stderr)
 
-    # --- TP forward + TP/DP train-step rows (round-2 VERDICT weak #7) --
+    # --- TP forward + TP/DP train-step rows (round-2 VERDICT weak #7;
+    # person_detect rows round-4 VERDICT task 6) ------------------------
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from microflow_tpu.parallel import shard_params
     from microflow_tpu.train import compile_tflite_train
 
-    def train_rows(mode, n_data, n_model):
+    def train_rows(mode, n_data, n_model, model_name="speech",
+                   shape=(1960,), n_layers=2, n_out=4, per_dev=8, iters=10):
         n = n_data * n_model
         mesh = Mesh(np.asarray(devices[:n]).reshape(n_data, n_model),
                     axis_names=("data", "model"))
-        m = compile_tflite_train(os.path.join(ROOT, "models", "speech.tflite"),
-                                 2, "crossentropy", True, name="speech")
-        B = 8 * n_data
+        m = compile_tflite_train(
+            os.path.join(ROOT, "models", f"{model_name}.tflite"),
+            n_layers, "crossentropy", True, name=model_name)
+        B = per_dev * n_data
         rng = np.random.default_rng(1)
-        xq = rng.integers(-128, 128, size=(B, 1960)).astype(np.int8)
-        gt = np.full((B, 4), -128, np.int8)
-        gt[np.arange(B), rng.integers(0, 4, B)] = 127
+        xq = rng.integers(-128, 128, size=(B, *shape)).astype(np.int8)
+        gt = np.full((B, n_out), -128, np.int8)
+        gt[np.arange(B), rng.integers(0, n_out, B)] = 127
 
         # unsharded reference step on device 0
         d0 = devices[0]
@@ -184,37 +217,44 @@ def main():
             ps, gs = ustep(ps, gs, batch_size=B, lr=0.5)
             jax.block_until_ready((final2, ps))
             t0 = time.time()
-            for _ in range(10):
+            for _ in range(iters):
                 f3, _, g3 = tstep(ps, gs, xqs, gts)
             jax.block_until_ready(f3)
-            t_sh = (time.time() - t0) / 10
+            t_sh = (time.time() - t0) / iters
 
         eq_out = bool(np.array_equal(np.asarray(final1), np.asarray(final2)))
         eq_par = all(
             bool(np.array_equal(np.asarray(a), np.asarray(b)))
             for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(ps)))
-        rows.append(("speech", mode, n, 8, B, f"{B/t_sh:.0f}", "",
-                     "", eq_out and eq_par, ""))
-        print(f"speech {mode} mesh=({n_data}x{n_model}): train-step "
+        rows.append((model_name, mode, n, per_dev, B, f"{B/t_sh:.0f}", "",
+                     "", eq_out and eq_par, "", NOTE_TRAIN))
+        print(f"{model_name} {mode} mesh=({n_data}x{n_model}): train-step "
               f"{B/t_sh:,.0f} inf/s, out+updated-params bit_equal="
               f"{eq_out and eq_par}", file=sys.stderr)
 
         # TP forward bit-equality on the inference path
         if n_model > 1:
-            mf = compile_tflite(os.path.join(ROOT, "models", "speech.tflite"),
-                                name="speech")
+            mf = compile_tflite(
+                os.path.join(ROOT, "models", f"{model_name}.tflite"),
+                name=model_name)
             want = np.asarray(jax.jit(mf._predict_from_quantized, device=d0)(
                 jax.device_put(mf.params, d0), jax.device_put(xq, d0)))
             pf = shard_params(mesh, mf.params, policy="tp")
             with mesh:
                 got = np.asarray(jax.jit(mf._predict_from_quantized)(pf, xqs))
-            rows.append(("speech", "tp_forward", n, 8, B, "", "", "",
-                         bool(np.array_equal(got, want)), ""))
-            print(f"speech tp_forward mesh=({n_data}x{n_model}): bit_equal="
+            rows.append((model_name, "tp_forward", n, per_dev, B, "", "", "",
+                         bool(np.array_equal(got, want)), "", NOTE_TRAIN))
+            print(f"{model_name} tp_forward mesh=({n_data}x{n_model}): bit_equal="
                   f"{np.array_equal(got, want)}", file=sys.stderr)
 
     train_rows("dp_train", N_DEVICES, 1)
     train_rows("tp_train", N_DEVICES // 2, 2)
+    # flagship (bench-model) training coverage: person_detect, the
+    # reference examples/person_detect_train.rs configuration (10 layers)
+    train_rows("dp_train", N_DEVICES, 1, model_name="person_detect",
+               shape=(96, 96, 1), n_layers=10, n_out=2, per_dev=4, iters=3)
+    train_rows("tp_train", N_DEVICES // 2, 2, model_name="person_detect",
+               shape=(96, 96, 1), n_layers=10, n_out=2, per_dev=4, iters=3)
 
     os.makedirs(OUT, exist_ok=True)
     with open(os.path.join(OUT, "scaling.csv"), "w", newline="") as f:
@@ -222,7 +262,7 @@ def main():
         w.writerow(
             ["model", "mode", "n_devices", "per_device_batch", "total_batch",
              "sharded_inf_per_s", "unsharded_inf_per_s", "sharding_overhead_pct",
-             "bit_equal", "server_bit_equal"]
+             "bit_equal", "server_bit_equal", "notes"]
         )
         w.writerows(rows)
     print(f"wrote {os.path.join(OUT, 'scaling.csv')}", file=sys.stderr)

@@ -209,3 +209,25 @@ def test_batch_server_warm_sharded_executable(sine, tmp_path, monkeypatch):
     finally:
         server2.stop()
     np.testing.assert_array_equal(got2, ref)
+
+
+def test_batch_server_submit_quantized_device_resident(sine):
+    """submit_quantized with device-resident jax.Arrays: the admission
+    loop coalesces/pads ON DEVICE (no host round-trip of request bytes)
+    and resolves to the same f32 outputs as the host-numpy path --
+    including when device and host requests interleave in one window
+    and when the coalesced total under-fills the bucket (pad path)."""
+    import jax.numpy as jnp
+
+    server = BatchServer(sine, max_batch=32, max_wait_ms=20.0)
+    try:
+        xs = np.linspace(-1.0, 1.0, 20, dtype=np.float32).reshape(-1, 1)
+        xq = np.asarray(sine.quantize_input(xs))
+        dev = jax.device_put(jnp.asarray(xq[:8]))
+        futs = [server.submit_quantized(dev),          # device-resident
+                server.submit_quantized(xq[8:14]),     # host int8
+                server.submit(xs[14:])]                # host f32
+        got = np.concatenate([np.asarray(f.result(timeout=60)) for f in futs])
+        np.testing.assert_array_equal(got, np.asarray(sine.predict(xs)))
+    finally:
+        server.stop()
