@@ -170,6 +170,25 @@ def accumulate_gradient_4d(current, accum_i32):
     return saturating_add_i32(accum_i32, current.astype(jnp.int32))
 
 
+def accumulate_gradient_4d_fold(dW_b, accum_i32):
+    """Batch-order saturating fold of per-sample gradients: the literal
+    repetition of the reference's per-sample ``accumulate_gradient_4D``
+    calls (``update_layer.rs:273-294``, driven one sample at a time by
+    ``examples/speech_train.rs:76-93``) over the sample axis.
+
+    This serial ``fori_loop`` IS the production path: in-jit chained
+    measurement (scripts/profile_train.py, person_detect 10 layers)
+    reads it 1.8x faster than the vectorized cumsum form at B=256 and
+    2.0x at B=1024 -- the fold is B tiny latency-bound adds, while the
+    cumsum materializes a [B, *W] i32 prefix tensor plus overflow masks
+    through HBM (docs/PERFORMANCE.md round 4)."""
+    return lax.fori_loop(
+        0, dW_b.shape[0],
+        lambda i, a: saturating_add_i32(a, dW_b[i].astype(jnp.int32)),
+        accum_i32.astype(jnp.int32),
+    )
+
+
 def accumulate_gradient_4d_batch(dW_b, accum_i32):
     """Batch-order saturating accumulation of per-sample gradients:
     the vectorized-exact form of folding ``accumulate_gradient_4d``
@@ -185,8 +204,13 @@ def accumulate_gradient_4d_batch(dW_b, accum_i32):
     back exactly.  If no step overflows, no clamp ever fired and the
     saturating fold equals the last wrapping prefix sum; otherwise
     ``lax.cond`` falls back to the reference's serial fold.  Bit-exact
-    in both branches; the fast branch removes the length-B serial
-    dependency chain from the train step (docs/PERFORMANCE.md round 4).
+    in both branches.
+
+    NOT the production path: in-jit chained measurement on TPU reads it
+    0.49-0.55x the serial fold's speed (the cumsum + overflow masks are
+    [B, *W] i32 HBM traffic; the fold is latency-bound tiny adds) --
+    kept as the measured-rejected design of record with its unit tests
+    (docs/PERFORMANCE.md round 4, scripts/profile_train.py).
     """
     d = dW_b.astype(jnp.int32)
     acc = accum_i32.astype(jnp.int32)

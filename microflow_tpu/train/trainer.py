@@ -203,8 +203,10 @@ class TrainableModel(CompiledModel):
                     x_in, y_out, g
                 )
                 # per-sample saturating accumulation, in batch order
-                # (vectorized-exact; serial fallback only if a clamp fires)
-                lg["weights_gradient"] = optimizer.accumulate_gradient_4d_batch(
+                # (serial fold: measured 1.8-2.1x FASTER on TPU than the
+                # vectorized overflow-guarded cumsum form at B>=256 --
+                # docs/PERFORMANCE.md round 4, scripts/profile_train.py)
+                lg["weights_gradient"] = optimizer.accumulate_gradient_4d_fold(
                     dW_b, lg["weights_gradient"]
                 )
                 # conv bias update is disabled in the reference
@@ -222,7 +224,7 @@ class TrainableModel(CompiledModel):
                 dW_b, bias_b, g = jax.vmap(lambda xi, yi, gi: fn(xi, yi, d_out=gi))(
                     x_in, y_out, g
                 )
-                lg["weights_gradient"] = optimizer.accumulate_gradient_4d_batch(
+                lg["weights_gradient"] = optimizer.accumulate_gradient_4d_fold(
                     dW_b, lg["weights_gradient"]
                 )
                 lg["c0_gradient"] = lg["c0_gradient"] + jnp.sum(bias_b, axis=0)

@@ -1,20 +1,24 @@
 #!/usr/bin/env python
 """Where-the-time-goes attribution of the jitted train step (TPU).
 
-Chained-dispatch methodology per CLAUDE.md (grads carried through the
-chain, input bumped by a data-dependent byte, host readback barrier).
-Variants isolate the three phases the round-3 verdict asked to
-attribute (reference analog: the per-sample host loop of
+ITERS steps run INSIDE one jit (lax.fori_loop, data-dependent carry)
+and the barrier reads back ONE device-sliced element: per-dispatch
+relay overhead scales with argument/result arity (a grads-tree-carrying
+step costs ~10 ms/dispatch) and a full-array readback ships megabytes
+through the ~3 MB/s tunnel -- both swamp device time at small batches
+(CLAUDE.md; this script's round-4 history is the cautionary tale).
+
+Variants (reference analog: the per-sample host loop of
 ``examples/speech_train.rs:76-93`` + ``src/update_layer.rs:261-294``):
 
-* fwd        -- forward pass only (all layers, acts saved)
-* full       -- forward + backward + batched saturating accumulation
-                (optimizer.accumulate_gradient_4d_batch, round 4)
-* serial     -- forward + backward + the pre-round-4 per-sample
-                fori_loop accumulation (the reference's literal fold)
+* fwd     -- forward pass only (all layers)
+* full    -- the production train step: forward + per-sample backward +
+             serial saturating fold (optimizer.accumulate_gradient_4d_fold)
+* batched -- forward + backward + the vectorized overflow-guarded
+             cumsum accumulation (measured-rejected: 0.49-0.55x full)
 
-full - fwd   = backward + accumulation;
-serial - full = the serial fold's cost over the batched one.
+full - fwd    = backward + accumulation;
+batched - full = the cumsum form's cost over the serial fold.
 
 Usage: profile_train.py [B] [ITERS] [model] [n_layers] [loss]
 """
@@ -28,6 +32,7 @@ sys.path.insert(0, os.path.normpath(os.path.join(os.path.dirname(os.path.abspath
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from microflow_tpu.train import compile_tflite_train, optimizer
 
@@ -48,12 +53,6 @@ gt = jax.device_put(m.quantize_target(
     rng.uniform(0, 1, (B, *g.output_shape)).astype(np.float32)))
 
 
-def serial_accum(dW_b, acc):
-    return jax.lax.fori_loop(
-        0, dW_b.shape[0],
-        lambda i, a: optimizer.accumulate_gradient_4d(dW_b[i], a), acc)
-
-
 def fwd_fn(params, grads, xq, gt_q):
     x = xq
     from microflow_tpu.compiler.builder import apply_layer
@@ -63,51 +62,66 @@ def fwd_fn(params, grads, xq, gt_q):
 
 
 def make_chain(body, with_grads):
-    def run(params, grads, xq, gt_q):
-        if with_grads:
-            final, loss_out, new_grads = body(params, grads, xq, gt_q)
-        else:
-            final = body(params, grads, xq, gt_q)
-            new_grads = grads
-        bump = final.reshape(final.shape[0], -1)[:, :1].astype(jnp.int8)
-        bump = bump.reshape(bump.shape + (1,) * (xq.ndim - 2))
-        return (xq + bump).astype(xq.dtype), new_grads
+    """ITERS repeats of the step INSIDE one jit via lax.fori_loop with a
+    data-dependent carry (per CLAUDE.md: host-visible per-dispatch relay
+    overhead scales with the argument/result arity -- a train step
+    carrying a 10-layer grads tree costs ~10 ms/dispatch through the
+    tunnel, swamping the device time at small batches)."""
+
+    def run(params, gt_q, xq, grads):
+        def step(_, carry):
+            xq, grads = carry
+            if with_grads:
+                final, _loss, grads = body(params, grads, xq, gt_q)
+            else:
+                final = body(params, grads, xq, gt_q)
+            bump = final.reshape(final.shape[0], -1)[:, :1].astype(jnp.int8)
+            bump = bump.reshape(bump.shape + (1,) * (xq.ndim - 2))
+            return (xq + bump).astype(xq.dtype), grads
+
+        return lax.fori_loop(0, ITERS, step, (xq, grads))
 
     return jax.jit(run)
 
 
 variants = [("fwd", make_chain(fwd_fn, False)),
             ("full", make_chain(m._train_step, True))]
-orig = optimizer.accumulate_gradient_4d_batch
-optimizer.accumulate_gradient_4d_batch = serial_accum
+# jit traces lazily, so the batched variant must be TRACED (not just
+# wrapped) while the monkeypatch is active -- lower() forces it
+orig = optimizer.accumulate_gradient_4d_fold
+optimizer.accumulate_gradient_4d_fold = optimizer.accumulate_gradient_4d_batch
 try:
-    variants.append(("serial", make_chain(m._train_step, True)))
+    batched_lowered = make_chain(m._train_step, True).lower(
+        m.params, gt, xq0, m.grads)
 finally:
-    optimizer.accumulate_gradient_4d_batch = orig
+    optimizer.accumulate_gradient_4d_fold = orig
+batched_exe = batched_lowered.compile()
+variants.append(("batched", lambda *a: batched_exe(*a)))
 
 results = {}
 for name, chain in variants:
     t0 = time.time()
-    x, gr = chain(m.params, m.grads, xq0, gt)
-    _ = int(np.asarray(x).reshape(-1)[0])
+    x, gr = chain(m.params, gt, xq0, m.grads)
+    # host-readback barrier on ONE element, sliced on device -- pulling
+    # the whole [B,96,96,1] carry through the ~3 MB/s relay tunnel adds
+    # ~4 ms/iter at ITERS=50 and swamps the attribution (CLAUDE.md)
+    _ = int(np.asarray(x[(0,) * x.ndim]))
     comp = time.time() - t0
     best = None
     for rep in range(3):
         t0 = time.time()
-        for _ in range(ITERS):
-            x, gr = chain(m.params, m.grads, x, gt)
-        _ = int(np.asarray(x).reshape(-1)[0])
+        x, gr = chain(m.params, gt, x, m.grads)
+        _ = int(np.asarray(x[(0,) * x.ndim]))
         dt = (time.time() - t0) / ITERS * 1e3
         best = dt if best is None else min(best, dt)
     results[name] = best
     print(f"{name:<7} compile {comp:5.1f}s  {best:8.3f} ms/batch "
           f"({B / best * 1e3:,.0f} samples/s)", flush=True)
 
-if {"fwd", "full", "serial"} <= results.keys():
-    fwd, full, serial = results["fwd"], results["full"], results["serial"]
+if {"fwd", "full", "batched"} <= results.keys():
+    fwd, full, batched = results["fwd"], results["full"], results["batched"]
     print(f"\nattribution @batch {B} ({MODEL}, {NL} trained layers):")
-    print(f"  forward               {fwd:8.3f} ms ({fwd/full*100:4.1f}% of full)")
-    print(f"  backward+accum (batched) {full-fwd:8.3f} ms")
-    print(f"  serial-fold penalty   {serial-full:8.3f} ms "
-          f"(serial step = {serial:.3f} ms -> batched accum is "
-          f"{serial/full:.2f}x)")
+    print(f"  forward                 {fwd:8.3f} ms ({fwd/full*100:4.1f}% of full)")
+    print(f"  backward + serial fold  {full-fwd:8.3f} ms")
+    print(f"  cumsum-accum penalty    {batched-full:8.3f} ms "
+          f"(batched step = {batched:.3f} ms -> {full/batched:.2f}x of full)")

@@ -89,8 +89,9 @@ def test_accumulate_gradient_4d_batch_matches_serial_fold():
 
 def test_trainer_batched_accum_matches_serial_end_to_end(tmp_path):
     """Full conv/dwconv train steps produce bit-identical gradient state
-    under the batched accumulation and the reference's literal serial
-    fold (monkeypatched back in)."""
+    under the production serial fold and the vectorized batched
+    accumulation (the measured-rejected alternative, monkeypatched in
+    -- docs/PERFORMANCE.md round 4)."""
     import jax
 
     from microflow_tpu.frontend import parser
@@ -103,14 +104,11 @@ def test_trainer_batched_accum_matches_serial_end_to_end(tmp_path):
     x = rng.uniform(-1, 1, (5, 28, 28, 1)).astype(np.float32)
     gt_f = rng.uniform(0, 1, 5).astype(np.float32)
 
-    def run(serial: bool):
-        orig = optimizer.accumulate_gradient_4d_batch
-        if serial:
-            optimizer.accumulate_gradient_4d_batch = lambda dw_b, acc: (
-                jax.lax.fori_loop(
-                    0, dw_b.shape[0],
-                    lambda i, a: optimizer.accumulate_gradient_4d(dw_b[i], a),
-                    acc))
+    def run(batched: bool):
+        orig = optimizer.accumulate_gradient_4d_fold
+        if batched:
+            optimizer.accumulate_gradient_4d_fold = (
+                optimizer.accumulate_gradient_4d_batch)
         try:
             m = TrainableModel(parser.parse(path), 7, "crossentropy", True)
             gt = m.quantize_target(
@@ -119,7 +117,7 @@ def test_trainer_batched_accum_matches_serial_end_to_end(tmp_path):
                 m.predict_train(x, gt, 0.01)
             return jax.tree_util.tree_map(np.asarray, m.grads)
         finally:
-            optimizer.accumulate_gradient_4d_batch = orig
+            optimizer.accumulate_gradient_4d_fold = orig
 
     a = run(False)
     b = run(True)
