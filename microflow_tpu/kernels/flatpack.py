@@ -881,9 +881,18 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
             in_specs.append(pl.BlockSpec(carr.shape, lambda i, z=zeros: z,
                                          memory_space=pltpu.VMEM))
         xp = xq
-        if meta["in_off"] or in_lanes_p != meta["in_lanes"]:
+        if meta["in_off"]:
             xp = jnp.pad(xq, ((0, 0), (meta["in_off"],
                                        in_lanes_p - meta["in_lanes"] - meta["in_off"])))
+        # in_off == 0 with in_lanes % 128 != 0 needs NO pad: the input
+        # BlockSpec (tb, in_lanes_p) simply exceeds the array's lane dim,
+        # and Mosaic DMAs the array's physical (32,128)-padded tile --
+        # the out-of-bounds lanes read arbitrary values, but every
+        # matrix row / tap plane referencing them is zero by
+        # construction (taps only index real input lanes), so the dot
+        # contribution is exactly 0 (scripts/probe_pad.py).  The old
+        # jnp.pad was a full HBM round-trip of the batch (~11% of the
+        # speech kernel's runtime, docs/PERFORMANCE.md round 4).
         return pl.pallas_call(
             kernel,
             grid=(b // tb,),

@@ -55,7 +55,7 @@ state = {}
 for name, (model, ch) in chains.items():
     t0 = time.time()
     x, y = ch(model.params, xq)
-    _ = int(np.asarray(y).reshape(-1)[0])
+    _ = int(np.asarray(y.reshape(-1)[0]))
     state[name] = x
     print(f"compiled {name} chain in {time.time()-t0:.1f}s", flush=True)
 
@@ -67,7 +67,7 @@ for rep in range(REPS):
         t0 = time.time()
         for _ in range(ITERS):
             x, y = ch(model.params, x)
-        _ = int(np.asarray(y).reshape(-1)[0])
+        _ = int(np.asarray(y.reshape(-1)[0]))
         dt = (time.time() - t0) / ITERS * 1e3
         state[name] = x
         times[name].append(dt)

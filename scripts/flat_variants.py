@@ -83,14 +83,14 @@ for name in names:
         dtype=jnp.int8))
     t0 = time.time()
     x, y = chain(xq)
-    _ = int(np.asarray(y)[0, 0])
+    _ = int(np.asarray(y[0, 0]))  # device-sliced scalar barrier (CLAUDE.md)
     comp_t = time.time() - t0
     best = None
     for rep in range(3):
         t0 = time.time()
         for _ in range(ITERS):
             x, y = chain(x)
-        _ = int(np.asarray(y)[0, 0])
+        _ = int(np.asarray(y[0, 0]))
         dt = (time.time() - t0) / ITERS * 1e3
         best = dt if best is None else min(best, dt)
     print(f"{name}: layers={n_layers} plan {plan_t:.1f}s compile {comp_t:.1f}s "

@@ -46,11 +46,11 @@ for k in CUTS:
     xq = jax.device_put(jax.random.randint(
         jax.random.PRNGKey(0), (B, *in_shape), -128, 128, dtype=jnp.int8))
     x, y = chain(model.params, xq)
-    _ = int(np.asarray(y).reshape(-1)[0])
+    _ = int(np.asarray(y.reshape(-1)[0]))
     t0 = time.time()
     for _ in range(ITERS):
         x, y = chain(model.params, x)
-    _ = int(np.asarray(y).reshape(-1)[0])
+    _ = int(np.asarray(y.reshape(-1)[0]))
     dt = (time.time() - t0) / ITERS * 1e3
     if k == 0:
         full = dt
