@@ -57,7 +57,14 @@ def main():
     ap.add_argument("--batch", type=int, default=49152)
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--backend", default=None, help="pallas|xla (default: auto)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI smoke: small batch, few iters, xla backend "
+                         "(skips the ~4 min Mosaic compile); still prints "
+                         "the one JSON line")
     args = ap.parse_args()
+    if args.smoke:
+        args.batch, args.iters = 2048, 20
+        args.backend = args.backend or "xla"
 
     import jax
     import jax.numpy as jnp

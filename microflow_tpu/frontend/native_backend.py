@@ -40,6 +40,8 @@ class _Options:
             d.get("fused_activation_function", 0)
         )
         self.keep_num_dims = bool(d.get("keep_num_dims", 0))
+        self.dilation_w_factor = d.get("dilation_w_factor", 1)
+        self.dilation_h_factor = d.get("dilation_h_factor", 1)
 
 
 class _Operator:
@@ -83,6 +85,9 @@ class NativeModel:
         self.version = meta["version"]
         self.operator_codes = [_OperatorCode(c) for c in meta["operator_codes"]]
         self.subgraphs = [_SubGraph(meta)]
+        # only subgraph 0 is materialized; the count lets the front-end
+        # reject multi-subgraph models instead of silently using index 0
+        self.num_subgraphs = meta.get("num_subgraphs", 1)
 
     def buffer_data(self, ref) -> bytes:
         offset, length = ref

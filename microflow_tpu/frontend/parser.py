@@ -76,12 +76,33 @@ def parse(path: str, name: str | None = None, frontend: str = "auto") -> Graph:
                 raise
     if model is None:
         model = tflite.load_model(path)
+    # Loud rejection of anything the engine would otherwise silently
+    # mis-handle (reference aborts compilation the same way:
+    # ``microflow-macros/src/lib.rs:134`` ``abort_call_site!``).  A parity
+    # engine must never compile a model it cannot honor bit-exactly.
+    n_sg = getattr(model, "num_subgraphs", len(model.subgraphs))
+    if n_sg != 1:
+        raise NotImplementedError(
+            f"model has {n_sg} subgraphs; only single-subgraph models are "
+            "supported (the engine would silently run subgraph 0)")
     sg = model.subgraphs[0]
     tensors = sg.tensors
+    if len(sg.inputs) != 1 or len(sg.outputs) != 1:
+        raise NotImplementedError(
+            f"model has {len(sg.inputs)} inputs / {len(sg.outputs)} outputs; "
+            "only single-input single-output graphs are supported")
 
     inp = tensors[sg.inputs[0]]
     out = tensors[sg.outputs[0]]
     layers = []
+
+    def _reject_dilation(opts, what):
+        if opts.dilation_w_factor != 1 or opts.dilation_h_factor != 1:
+            raise NotImplementedError(
+                f"{what}: dilation "
+                f"({opts.dilation_h_factor}, {opts.dilation_w_factor}) != 1 "
+                "is not supported (compiling it would silently treat the "
+                "kernel as dense)")
 
     for index, op in enumerate(sg.operators):
         code = tflite.BuiltinOperator(model.operator_codes[op.opcode_index].op)
@@ -92,6 +113,11 @@ def parse(path: str, name: str | None = None, frontend: str = "auto") -> Graph:
         if code == tflite.BuiltinOperator.FULLY_CONNECTED:
             in_t, w_t, b_t = (tensors[i] for i in op.inputs[:3])
             opts = op.fully_connected_options()
+            if opts.keep_num_dims:
+                raise NotImplementedError(
+                    f"FULLY_CONNECTED #{index}: keep_num_dims is not "
+                    "supported (the engine always flattens to 2D, matching "
+                    "the reference's Tensor2D conversion)")
             # tflite stores FC weights [out, in]; runtime layout is [in, out]
             # (reference transposes at parse, macros/src/tensor.rs:98-114)
             weights = _tensor_data(model, w_t).T.copy()
@@ -114,6 +140,7 @@ def parse(path: str, name: str | None = None, frontend: str = "auto") -> Graph:
         elif code == tflite.BuiltinOperator.CONV_2D:
             in_t, w_t, b_t = (tensors[i] for i in op.inputs[:3])
             opts = op.conv_2d_options()
+            _reject_dilation(opts, f"CONV_2D #{index}")
             filters = _tensor_data(model, w_t)  # [F, KH, KW, C]
             bias = _tensor_data(model, b_t).reshape(-1)
             in_q, w_q, bias_q = _quant_info(in_t), _quant_info(w_t), _quant_info(b_t)
@@ -138,6 +165,20 @@ def parse(path: str, name: str | None = None, frontend: str = "auto") -> Graph:
         elif code == tflite.BuiltinOperator.DEPTHWISE_CONV_2D:
             in_t, w_t, b_t = (tensors[i] for i in op.inputs[:3])
             opts = op.depthwise_conv_2d_options()
+            _reject_dilation(opts, f"DEPTHWISE_CONV_2D #{index}")
+            in_c, w_c = in_t.shape[3], w_t.shape[3]
+            if in_c != 1 and in_c != w_c:
+                # the supported fallback is the reference's: in_c == 1
+                # (depth-multiplier stem, every output channel reads input
+                # channel 0) or in_c == CH (true depthwise).  Anything else
+                # would compile but diverge from TFLite semantics via the
+                # reference's silent channel-0 fallback
+                # (src/ops/depthwise_conv_2d.rs:92-99 ``unwrap_or``).
+                raise NotImplementedError(
+                    f"DEPTHWISE_CONV_2D #{index}: input channels {in_c} vs "
+                    f"weight channels {w_c} (depth_multiplier="
+                    f"{opts.depth_multiplier}) is outside the supported "
+                    "fallback (in_c == 1 or in_c == weight channels)")
             weights = _tensor_data(model, w_t)[0]  # [KH, KW, CH]
             bias = _tensor_data(model, b_t).reshape(-1)
             in_q, w_q, bias_q = _quant_info(in_t), _quant_info(w_t), _quant_info(b_t)

@@ -217,7 +217,10 @@ class ModelWriter:
         shape = list(new_shape)
         return lambda w: [(0, "offset", w.vector_numeric(shape, np.int32))]
 
-    def finish(self, inputs: list, outputs: list) -> bytes:
+    def finish(self, inputs: list, outputs: list, num_subgraphs: int = 1) -> bytes:
+        """``num_subgraphs`` > 1 duplicates subgraph 0 -- used by the
+        rejection tests to prove the front-end aborts on multi-subgraph
+        models instead of silently compiling index 0."""
         w = Writer()
         # buffers
         buffer_offs = []
@@ -260,7 +263,7 @@ class ModelWriter:
         subgraph = w.table([(0, "offset", tensors_vec), (1, "offset", in_off),
                             (2, "offset", out_off), (3, "offset", ops_vec),
                             (4, "offset", sg_name)])
-        subgraphs_vec = w.vector_offsets([subgraph])
+        subgraphs_vec = w.vector_offsets([subgraph] * num_subgraphs)
         # operator codes (write both deprecated byte and new i32 field)
         oc_offs = [
             w.table([(0, "i8", min(int(op), 127)), (2, "i32", 1), (3, "i32", int(op))])

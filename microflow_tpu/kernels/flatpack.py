@@ -884,6 +884,13 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
         if meta["in_off"]:
             xp = jnp.pad(xq, ((0, 0), (meta["in_off"],
                                        in_lanes_p - meta["in_lanes"] - meta["in_off"])))
+        elif in_lanes_p != -(-meta["in_lanes"] // 128) * 128:
+            # Guard the undocumented-Mosaic dependence (round-4 advisor):
+            # the pad-free OOB read below is only provably inside the
+            # array's physical (32,128)-padded tile when in_lanes_p is
+            # exactly in_lanes rounded up to the 128-lane boundary.
+            # Anything wider must take the explicit-pad path.
+            xp = jnp.pad(xq, ((0, 0), (0, in_lanes_p - meta["in_lanes"])))
         # in_off == 0 with in_lanes % 128 != 0 needs NO pad: the input
         # BlockSpec (tb, in_lanes_p) simply exceeds the array's lane dim,
         # and Mosaic DMAs the array's physical (32,128)-padded tile --

@@ -154,10 +154,13 @@ extern "C" int mf_parse_tflite(const uint8_t* buf, size_t len, char* out, size_t
     }
   }
 
-  // subgraph 0 (field 2)
+  // subgraph 0 (field 2); count emitted so the front-end can reject
+  // multi-subgraph models loudly instead of silently taking index 0
   auto [sg_payload, sg_n] = model.vec(2);
   if (!sg_n) return -1;
   Table sg = model.vec_table(sg_payload, 0);
+  j.raw(",\"num_subgraphs\":");
+  j.num((int64_t)sg_n);
 
   j.raw(",\"tensors\":[");
   {
@@ -227,6 +230,10 @@ extern "C" int mf_parse_tflite(const uint8_t* buf, size_t len, char* out, size_t
             j.num(o.scalar_i(2, 4, 0));
             j.raw(",\"fused_activation_function\":");
             j.num(o.scalar_i(3, 1, 0));
+            j.raw(",\"dilation_w_factor\":");
+            j.num(o.scalar_i(4, 4, 1));
+            j.raw(",\"dilation_h_factor\":");
+            j.num(o.scalar_i(5, 4, 1));
             break;
           case 2:  // DepthwiseConv2DOptions
             j.raw("\"padding\":");
@@ -239,6 +246,10 @@ extern "C" int mf_parse_tflite(const uint8_t* buf, size_t len, char* out, size_t
             j.num(o.scalar_i(3, 4, 0));
             j.raw(",\"fused_activation_function\":");
             j.num(o.scalar_i(4, 1, 0));
+            j.raw(",\"dilation_w_factor\":");
+            j.num(o.scalar_i(5, 4, 1));
+            j.raw(",\"dilation_h_factor\":");
+            j.num(o.scalar_i(6, 4, 1));
             break;
           case 5:  // Pool2DOptions
             j.raw("\"padding\":");
@@ -257,6 +268,8 @@ extern "C" int mf_parse_tflite(const uint8_t* buf, size_t len, char* out, size_t
           case 8:  // FullyConnectedOptions
             j.raw("\"fused_activation_function\":");
             j.num(o.scalar_i(0, 1, 0));
+            j.raw(",\"keep_num_dims\":");
+            j.num(o.scalar_i(2, 1, 0));
             break;
           default:
             break;

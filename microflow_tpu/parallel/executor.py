@@ -68,11 +68,28 @@ class BatchServer:
         self._warmed[bucket] = exe
         return exe
 
+    def _check_request(self, xq):
+        """Reject malformed requests at submission, before they reach the
+        admission thread: one bad array raising inside the worker outside
+        its try/except would kill the loop and hang every pending future
+        (round-4 advisor finding)."""
+        g = self.model.graph
+        want = tuple(g.input_shape)
+        if xq.ndim != 1 + len(want) or tuple(xq.shape[1:]) != want:
+            raise ValueError(
+                f"request shape {xq.shape} != [b, *{want}]")
+        if xq.shape[0] < 1:
+            raise ValueError("request batch must be >= 1")
+        if xq.dtype != g.input_dtype:
+            raise TypeError(
+                f"request dtype {xq.dtype} != model input {g.input_dtype}")
+        return xq
+
     def submit(self, x: np.ndarray) -> Future:
         """Enqueue a [b, *input_shape] f32 request; resolves to f32 output."""
         fut: Future = Future()
         xq = np.asarray(self.model.quantize_input(np.asarray(x, np.float32)))
-        self._queue.put((xq, fut))
+        self._queue.put((self._check_request(xq), fut))
         return fut
 
     def submit_quantized(self, xq) -> Future:
@@ -84,7 +101,9 @@ class BatchServer:
         (the serving analog of ``predict_quantized``; also what the
         engine-overhead measurement in scripts/analysis.py drives)."""
         fut: Future = Future()
-        self._queue.put((xq, fut))
+        if not isinstance(xq, jax.Array):
+            xq = np.asarray(xq)
+        self._queue.put((self._check_request(xq), fut))
         return fut
 
     def predict(self, x: np.ndarray) -> np.ndarray:
@@ -109,24 +128,24 @@ class BatchServer:
             except queue.Empty:
                 continue
             batch = [first]
-            total = first[0].shape[0]
-            deadline = self.max_wait_s
-            # coalesce whatever arrives within the admission window
-            while total < self.max_batch:
-                try:
-                    item = self._queue.get(timeout=deadline)
-                except queue.Empty:
-                    break
-                batch.append(item)
-                total += item[0].shape[0]
-            # device-resident requests (submit_quantized with jax.Array)
-            # are coalesced/padded with jnp on device -- the admission
-            # path then moves no bulk request bytes over PCIe/host links
-            on_device = any(isinstance(b[0], jax.Array) for b in batch)
-            xp = jax.numpy if on_device else np
-            xs_all = (xp.concatenate([b[0] for b in batch])
-                      if len(batch) > 1 else batch[0][0])
             try:
+                total = first[0].shape[0]
+                deadline = self.max_wait_s
+                # coalesce whatever arrives within the admission window
+                while total < self.max_batch:
+                    try:
+                        item = self._queue.get(timeout=deadline)
+                    except queue.Empty:
+                        break
+                    batch.append(item)
+                    total += item[0].shape[0]
+                # device-resident requests (submit_quantized w/ jax.Array)
+                # are coalesced/padded with jnp on device -- the admission
+                # path then moves no bulk request bytes over host links
+                on_device = any(isinstance(b[0], jax.Array) for b in batch)
+                xp = jax.numpy if on_device else np
+                xs_all = (xp.concatenate([b[0] for b in batch])
+                          if len(batch) > 1 else batch[0][0])
                 # Dispatch in chunks of at most max_batch: coalescing can
                 # overshoot (request sizes needn't divide the window, and
                 # a single request may exceed max_batch), and a warmed

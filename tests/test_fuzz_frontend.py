@@ -235,3 +235,125 @@ def test_fuzz_export_roundtrip(seed, tmp_path):
     xq = rng.integers(-128, 128, (2, *g.input_shape), dtype=np.int8)
     np.testing.assert_array_equal(
         np.asarray(m.predict_inner(xq)), np.asarray(m2.predict_inner(xq)))
+
+
+# --- loud rejection of unsupported model features (round-4 VERDICT #6) -------
+# The reference aborts compilation on anything it cannot honor
+# (``microflow-macros/src/lib.rs:134`` ``abort_call_site!``); a parity
+# engine must abort, never miscompile.  Each fabricated model flips ONE
+# decoded-but-previously-ignored knob and must fail to parse on BOTH
+# front-ends.
+
+
+def _conv_model(conv_fields=None, fc_fields=None, num_subgraphs=1,
+                extra_input=False, extra_output=False, dw_fields=None,
+                dw_in_c=None):
+    """A tiny valid conv(+fc) int8 model with injectable option fields."""
+    rng = np.random.default_rng(7)
+    m = ModelWriter("reject-fuzz")
+    in_c = dw_in_c if dw_in_c is not None else 2
+    x_in = m.tensor([1, 6, 6, in_c], I8, 0.05, 0, name="input")
+    if dw_fields is not None or dw_in_c is not None:
+        ch = 4
+        wq = rng.integers(-127, 128, (1, 3, 3, ch), dtype=np.int8)
+        w_t = m.tensor([1, 3, 3, ch], I8, 0.02, 0, data=wq, name="dwW")
+        b_t = m.tensor([ch], I32, 0.001, 0,
+                       data=np.zeros(ch, np.int32), name="dwB")
+        y = m.tensor([1, 6, 6, ch], I8, 0.04, 0, name="dwY")
+        fields = dw_fields if dw_fields is not None else m.dwconv_options(
+            Padding.SAME, (1, 1), ch // in_c, Act.NONE)
+        m.add_op(Op.DEPTHWISE_CONV_2D, [x_in, w_t, b_t], [y], fields)
+        out = y
+    else:
+        f = 3
+        wq = rng.integers(-127, 128, (f, 3, 3, in_c), dtype=np.int8)
+        w_t = m.tensor([f, 3, 3, in_c], I8, 0.02, 0, data=wq, name="convW")
+        b_t = m.tensor([f], I32, 0.001, 0,
+                       data=np.zeros(f, np.int32), name="convB")
+        y = m.tensor([1, 6, 6, f], I8, 0.04, 0, name="convY")
+        fields = conv_fields if conv_fields is not None else m.conv_options(
+            Padding.SAME, (1, 1), Act.NONE)
+        m.add_op(Op.CONV_2D, [x_in, w_t, b_t], [y], fields)
+        out = y
+    if fc_fields is not None:
+        k = 6 * 6 * 3
+        wq = rng.integers(-127, 128, (4, k), dtype=np.int8)
+        w_t = m.tensor([4, k], I8, 0.02, 0, data=wq, name="fcW")
+        b_t = m.tensor([4], I32, 0.001, 0,
+                       data=np.zeros(4, np.int32), name="fcB")
+        z = m.tensor([1, 4], I8, 0.03, 0, name="fcY")
+        m.add_op(Op.FULLY_CONNECTED, [out, w_t, b_t], [z], fc_fields)
+        out = z
+    inputs = [x_in]
+    outputs = [out]
+    if extra_input:
+        inputs.append(m.tensor([1, 4], I8, 0.1, 0, name="aux_in"))
+    if extra_output:
+        outputs.append(x_in)
+    return m.finish(inputs, outputs, num_subgraphs=num_subgraphs)
+
+
+def _assert_rejected(data, tmp_path, match):
+    path = str(tmp_path / "reject.tflite")
+    with open(path, "wb") as f:
+        f.write(data)
+    with pytest.raises((NotImplementedError, ValueError), match=match):
+        parse(path, frontend="python")
+    if native.available():
+        with pytest.raises((NotImplementedError, ValueError), match=match):
+            parse(path, frontend="native")
+
+
+def test_reject_dilated_conv(tmp_path):
+    fields = ModelWriter.conv_options(Padding.SAME, (1, 1), Act.NONE)
+    fields += [(4, "i32", 2), (5, "i32", 2)]  # dilation_w/h_factor
+    _assert_rejected(_conv_model(conv_fields=fields), tmp_path, "dilation")
+
+
+def test_reject_dilated_dwconv(tmp_path):
+    fields = ModelWriter.dwconv_options(Padding.SAME, (1, 1), 2, Act.NONE)
+    fields += [(5, "i32", 1), (6, "i32", 3)]  # dilation_w/h_factor
+    _assert_rejected(_conv_model(dw_fields=fields, dw_in_c=2), tmp_path,
+                     "dilation")
+
+
+def test_reject_fc_keep_num_dims(tmp_path):
+    fields = ModelWriter.fc_options(Act.NONE) + [(2, "u8", 1)]
+    _assert_rejected(_conv_model(fc_fields=fields), tmp_path, "keep_num_dims")
+
+
+def test_reject_multi_subgraph(tmp_path):
+    _assert_rejected(_conv_model(num_subgraphs=2), tmp_path, "subgraph")
+
+
+def test_reject_multi_input(tmp_path):
+    _assert_rejected(_conv_model(extra_input=True), tmp_path, "inputs")
+
+
+def test_reject_multi_output(tmp_path):
+    _assert_rejected(_conv_model(extra_output=True), tmp_path, "outputs")
+
+
+def test_reject_unknown_activation(tmp_path):
+    # TANH (enum 4) decodes but has no integer kernel; SIGN_BIT likewise.
+    fields = ModelWriter.conv_options(Padding.SAME, (1, 1), Act.TANH)
+    _assert_rejected(_conv_model(conv_fields=fields), tmp_path,
+                     "activation")
+
+
+def test_reject_dw_depth_multiplier_mismatch(tmp_path):
+    # in_c=2 with 4 weight channels: outside the supported fallback
+    # (in_c == 1 stem or in_c == CH); the reference would silently read
+    # channel 0 for channels >= in_c (src/ops/depthwise_conv_2d.rs:92-99).
+    _assert_rejected(_conv_model(dw_in_c=2), tmp_path, "fallback")
+
+
+def test_dw_stem_and_true_depthwise_still_parse(tmp_path):
+    # guard: the two supported forms keep parsing after the rejection work
+    for in_c, name in ((1, "stem"), (4, "true_dw")):
+        data = _conv_model(dw_in_c=in_c)
+        path = str(tmp_path / f"ok_{name}.tflite")
+        with open(path, "wb") as f:
+            f.write(data)
+        g = parse(path, frontend="python")
+        assert g.layers, name

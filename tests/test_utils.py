@@ -157,7 +157,7 @@ def test_model_warm_dispatch(tmp_path, monkeypatch):
 
 def test_serving_sweep_smoke(tmp_path, monkeypatch):
     """The opt-in serving sweep (scripts/analysis.py --serving) runs end
-    to end on the virtual mesh and writes a well-formed serving.csv
+    to end on the virtual mesh and writes a well-formed serving_tunnel.csv
     (it is relay-bandwidth-bound on the TPU tunnel, so CI validates the
     harness on CPU; see docs/PERFORMANCE.md 'Serving end-to-end')."""
     import csv
@@ -171,7 +171,7 @@ def test_serving_sweep_smoke(tmp_path, monkeypatch):
         sys.path.pop(0)
     monkeypatch.setattr(analysis, "OUT", str(tmp_path))
     analysis.serving_sweep(cases=[("sine", (1,), 64, 4)])
-    with open(os.path.join(str(tmp_path), "serving.csv")) as f:
+    with open(os.path.join(str(tmp_path), "serving_tunnel.csv")) as f:
         rows = list(csv.DictReader(f))
     assert len(rows) == 1 and rows[0]["model"] == "sine"
     assert float(rows[0]["inferences_per_s"]) > 0
