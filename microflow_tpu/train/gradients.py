@@ -106,11 +106,112 @@ def fc_backward_float(layer: FullyConnectedLayer, x_q, out_q, weights, d_out_f32
 # --- Conv2D -----------------------------------------------------------------
 
 
+def _scatter_frame(geom, KH, KW):
+    """(hp, wp, hp_eff, wp_eff): the backward scatter frame.  The
+    transpose-scatter touches exactly [0, K + s*(O-1)) in each padded
+    dim (``hp_eff``); ``hp`` keeps the original frame when the input
+    extent is larger (positions the scatter never reaches stay zero)."""
+    top, bottom, left, right = geom.pad_amounts()
+    hp_eff = geom.k_rows + geom.stride_rows * (geom.out_rows - 1)
+    wp_eff = geom.k_cols + geom.stride_cols * (geom.out_cols - 1)
+    hp = max(geom.in_rows + top + bottom, hp_eff)
+    wp = max(geom.in_cols + left + right, wp_eff)
+    return hp, wp, hp_eff, wp_eff
+
+
+def _transpose_pad(md, KH, KW, sr, sc):
+    """Interior-dilate ``md`` [OH,OW,C] by the stride and add K-1 zeros
+    on every side: slice ``[K-1-m : K-1-m+hp_eff]`` then reads exactly
+    the transpose-scatter term for tap (m, n) -- the pad+static-slice
+    form of ``at[m::s, n::s].add`` with no scatter op."""
+    return lax.pad(
+        md, jnp.asarray(0, md.dtype),
+        ((KH - 1, KH - 1, sr - 1), (KW - 1, KW - 1, sc - 1), (0, 0, 0)))
+
+
+def _tap_slices(geom, KH, KW):
+    """Strided input-window slice bounds per tap: tap (m, n) of every
+    output window reads ``xp[m : m+s*(O-1)+1 : s]`` of the padded input
+    (the per-tap column of ``extract_patches`` without materializing the
+    [OH,OW,KH,KW,C] patch tensor)."""
+    sr, sc = geom.stride_rows, geom.stride_cols
+    rh = sr * (geom.out_rows - 1) + 1
+    rw = sc * (geom.out_cols - 1) + 1
+    return [((m, m + rh, sr), (n, n + rw, sc)) for m in range(KH) for n in range(KW)]
+
+
 def conv_backward_sample(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_vec):
-    """Per-sample conv gradients (``gradient_conv_2d.rs``).
+    """Per-sample conv gradients (``gradient_conv_2d.rs``), scatter-free.
 
     x_q [H,W,C], out_q/d_out [OH,OW,F] -> (dW_q int8 [F,KH,KW,C],
-    bias_grad f32 [F], dIn i32 [H,W,C])."""
+    bias_grad f32 [F], dIn i32 [H,W,C]).
+
+    Bit-identical to :func:`conv_backward_sample_scatter` (the direct
+    transcription, kept as the oracle): integer sums are
+    order-independent and i32 wraps consistently, so replacing the
+    KHxKW ``at[].add`` scatters with pad+static-slice terms and the
+    patch-tensor einsum with per-tap strided-slice einsums changes
+    nothing but the lowering (round-4 VERDICT task 5: the scatter form
+    was 73% of the train step at B=1024)."""
+    geom = layer.geom
+    act, os_, oz = layer.activation, layer.out_q.scale0, layer.out_q.zp0
+    in_zp = layer.in_q.zp0
+    F_, KH, KW, C = layer.filters.shape
+    sr, sc = geom.stride_rows, geom.stride_cols
+    mask = activity_mask(out_q, act, os_, oz, raw=False)
+    md = jnp.where(mask, d_out, 0)  # [OH, OW, F] i32
+    amd = jnp.abs(md)
+
+    # weights gradient: per-tap strided slices of the zp-padded input
+    # (padding with in_zp then centering makes OOB taps exactly 0, the
+    # same identity extract_patches used)
+    top, bottom, left, right = geom.pad_amounts()
+    H, W = geom.in_rows, geom.in_cols
+    xp = jnp.pad(x_q, ((top, bottom), (left, right), (0, 0)),
+                 constant_values=np.asarray(in_zp, x_q.dtype))
+    xc = xp.astype(jnp.int32) - jnp.int32(in_zp)
+    taps = _tap_slices(geom, KH, KW)
+    dw_acc = jnp.stack(
+        [jnp.einsum("ijc,ijf->fc",
+                    xc[h0:h1:hs, w0:w1:ws, :], md)
+         for (h0, h1, hs), (w0, w1, ws) in taps],
+        axis=1).reshape(F_, KH, KW, C)
+    valid = jnp.asarray(geom.valid_mask_plane(), jnp.int32)  # [OH,OW,KH,KW]
+    norm_w = jnp.einsum("ijmn,ijf->fmn", valid, amd)  # [F,KH,KW]
+    dw_q = _sat_cast_nan0(round_away(f32(dw_acc) / f32(norm_w)[..., None]), jnp.int8)
+
+    # bias gradient: masked sum / signed total (``gradient_conv_2d.rs:251-301``)
+    norm_b = jnp.sum(f32(d_out))
+    bias_grad = f32(jnp.sum(md, axis=(0, 1))) / norm_b  # [F]
+
+    # input gradient: transpose of the forward taps, as pad+slice terms
+    hp, wp, hp_eff, wp_eff = _scatter_frame(geom, KH, KW)
+    wc = weights.astype(jnp.int32) - jnp.asarray(w_zp_vec, jnp.int32)[:, None, None, None]
+    md_pp = _transpose_pad(md, KH, KW, sr, sc)
+    amd_pp = _transpose_pad(jnp.sum(amd, axis=-1, keepdims=True), KH, KW, sr, sc)
+    d_eff = jnp.zeros((hp_eff, wp_eff, C), jnp.int32)
+    n_eff = jnp.zeros((hp_eff, wp_eff, 1), jnp.int32)
+    for m in range(KH):
+        for n in range(KW):
+            sl = md_pp[KH - 1 - m : KH - 1 - m + hp_eff,
+                       KW - 1 - n : KW - 1 - n + wp_eff, :]
+            d_eff = d_eff + jnp.einsum("ijf,fc->ijc", sl, wc[:, m, n, :])
+            n_eff = n_eff + amd_pp[KH - 1 - m : KH - 1 - m + hp_eff,
+                                   KW - 1 - n : KW - 1 - n + wp_eff, :]
+    if (hp, wp) != (hp_eff, wp_eff):
+        d_eff = jnp.pad(d_eff, ((0, hp - hp_eff), (0, wp - wp_eff), (0, 0)))
+        n_eff = jnp.pad(n_eff, ((0, hp - hp_eff), (0, wp - wp_eff), (0, 0)))
+    d_in_acc = d_eff[top : top + H, left : left + W]
+    norm_in = n_eff[top : top + H, left : left + W]
+    d_in = _sat_cast_nan0(round_away(f32(d_in_acc) / f32(norm_in)), jnp.int32)
+    return dw_q, bias_grad, d_in
+
+
+def conv_backward_sample_scatter(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_vec):
+    """The direct transcription of ``gradient_conv_2d.rs`` (patch-tensor
+    einsum + KHxKW ``at[].add`` scatters) -- the oracle the production
+    :func:`conv_backward_sample` must stay bit-equal to
+    (tests/test_train.py)."""
     geom = layer.geom
     act, os_, oz = layer.activation, layer.out_q.scale0, layer.out_q.zp0
     in_zp = layer.in_q.zp0
@@ -158,11 +259,59 @@ def conv_backward_sample(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_ve
 
 
 def dwconv_backward_sample(layer: DepthwiseConv2DLayer, x_q, out_q, weights, d_out, w_zp_vec):
-    """Per-sample depthwise gradients (``gradient_depthwise_conv_2d.rs``).
+    """Per-sample depthwise gradients (``gradient_depthwise_conv_2d.rs``),
+    scatter-free (same pad+slice rewrite as :func:`conv_backward_sample`;
+    bit-equal to :func:`dwconv_backward_sample_scatter`).
 
     Requires IN_C == CH (the reference's gradient code indexes out of
     bounds for the depth-multiplier case and is never exercised there).
     """
+    geom = layer.geom
+    act, os_, oz = layer.activation, layer.out_q.scale0, layer.out_q.zp0
+    in_zp = layer.in_q.zp0
+    KH, KW, CH = layer.weights.shape
+    if x_q.shape[-1] != CH:
+        raise NotImplementedError(
+            "depthwise training with depth multiplier != 1 (reference panics here too)"
+        )
+    sr, sc = geom.stride_rows, geom.stride_cols
+    norm = jnp.sum(jnp.abs(f32(d_out)))
+    mask = activity_mask(out_q, act, os_, oz, raw=False)
+    md = jnp.where(mask, d_out, 0)  # [OH,OW,CH]
+
+    top, bottom, left, right = geom.pad_amounts()
+    H, W = geom.in_rows, geom.in_cols
+    xp = jnp.pad(x_q, ((top, bottom), (left, right), (0, 0)),
+                 constant_values=np.asarray(in_zp, x_q.dtype))
+    xc = xp.astype(jnp.int32) - jnp.int32(in_zp)
+    taps = _tap_slices(geom, KH, KW)
+    dw_acc = jnp.stack(
+        [jnp.sum(xc[h0:h1:hs, w0:w1:ws, :] * md, axis=(0, 1))
+         for (h0, h1, hs), (w0, w1, ws) in taps],
+        axis=0).reshape(KH, KW, CH)
+    dw_q = _sat_cast_nan0(round_away(f32(dw_acc) / norm), jnp.int8)
+
+    bias_grad = f32(jnp.sum(md, axis=(0, 1)))  # [CH]
+
+    hp, wp, hp_eff, wp_eff = _scatter_frame(geom, KH, KW)
+    wc = weights.astype(jnp.int32) - jnp.asarray(w_zp_vec, jnp.int32)[None, None, :]
+    md_pp = _transpose_pad(md, KH, KW, sr, sc)
+    d_eff = jnp.zeros((hp_eff, wp_eff, CH), jnp.int32)
+    for m in range(KH):
+        for n in range(KW):
+            sl = md_pp[KH - 1 - m : KH - 1 - m + hp_eff,
+                       KW - 1 - n : KW - 1 - n + wp_eff, :]
+            d_eff = d_eff + sl * wc[None, None, m, n, :].reshape(1, 1, CH)
+    if (hp, wp) != (hp_eff, wp_eff):
+        d_eff = jnp.pad(d_eff, ((0, hp - hp_eff), (0, wp - wp_eff), (0, 0)))
+    d_in_acc = d_eff[top : top + H, left : left + W]
+    d_in = _sat_cast_nan0(round_away(f32(d_in_acc) / norm), jnp.int32)
+    return dw_q, bias_grad, d_in
+
+
+def dwconv_backward_sample_scatter(layer: DepthwiseConv2DLayer, x_q, out_q, weights, d_out, w_zp_vec):
+    """Direct transcription oracle for :func:`dwconv_backward_sample`
+    (patch tensor + ``at[].add`` scatters)."""
     geom = layer.geom
     act, os_, oz = layer.activation, layer.out_q.scale0, layer.out_q.zp0
     in_zp = layer.in_q.zp0
@@ -208,7 +357,8 @@ def dwconv_backward_sample(layer: DepthwiseConv2DLayer, x_q, out_q, weights, d_o
 
 def avgpool_backward_sample(layer: AveragePool2DLayer, out_q, d_out):
     """Per-sample scatter of dOut to every contributing input position
-    (``gradient_average_pool.rs:10-73``).  out_q/d_out [OH,OW,C] ->
+    (``gradient_average_pool.rs:10-73``), as pad+slice terms (bit-equal
+    to the ``at[].add`` form: integer adds).  out_q/d_out [OH,OW,C] ->
     dIn i32 [H,W,C]."""
     geom = layer.geom
     mask = activity_mask(
@@ -218,12 +368,14 @@ def avgpool_backward_sample(layer: AveragePool2DLayer, out_q, d_out):
     top, bottom, left, right = geom.pad_amounts()
     H, W, C = geom.in_rows, geom.in_cols, d_out.shape[-1]
     KH, KW = geom.k_rows, geom.k_cols
-    hp = max(H + top + bottom, KH + geom.stride_rows * (geom.out_rows - 1))
-    wp = max(W + left + right, KW + geom.stride_cols * (geom.out_cols - 1))
-    d_inp = jnp.zeros((hp, wp, C), jnp.int32)
     sr, sc = geom.stride_rows, geom.stride_cols
-    oh, ow = geom.out_rows, geom.out_cols
+    hp, wp, hp_eff, wp_eff = _scatter_frame(geom, KH, KW)
+    md_pp = _transpose_pad(md, KH, KW, sr, sc)
+    d_eff = jnp.zeros((hp_eff, wp_eff, C), jnp.int32)
     for m in range(KH):
         for n in range(KW):
-            d_inp = d_inp.at[m : m + sr * oh : sr, n : n + sc * ow : sc, :].add(md)
-    return d_inp[top : top + H, left : left + W]
+            d_eff = d_eff + md_pp[KH - 1 - m : KH - 1 - m + hp_eff,
+                                  KW - 1 - n : KW - 1 - n + wp_eff, :]
+    if (hp, wp) != (hp_eff, wp_eff):
+        d_eff = jnp.pad(d_eff, ((0, hp - hp_eff), (0, wp - wp_eff), (0, 0)))
+    return d_eff[top : top + H, left : left + W]

@@ -176,17 +176,46 @@ def accumulate_gradient_4d_fold(dW_b, accum_i32):
     calls (``update_layer.rs:273-294``, driven one sample at a time by
     ``examples/speech_train.rs:76-93``) over the sample axis.
 
-    This serial ``fori_loop`` IS the production path: in-jit chained
-    measurement (scripts/profile_train.py, person_detect 10 layers)
-    reads it 1.8x faster than the vectorized cumsum form at B=256 and
-    2.0x at B=1024 -- the fold is B tiny latency-bound adds, while the
-    cumsum materializes a [B, *W] i32 prefix tensor plus overflow masks
-    through HBM (docs/PERFORMANCE.md round 4)."""
-    return lax.fori_loop(
-        0, dW_b.shape[0],
-        lambda i, a: saturating_add_i32(a, dW_b[i].astype(jnp.int32)),
-        accum_i32.astype(jnp.int32),
-    )
+    Round-5 fast path: per-sample conv/dw gradients are int8
+    (``_sat_cast_nan0(..., jnp.int8)``), so every entry is in
+    [-127, 127] and any prefix of the fold stays inside
+    [min(acc) - 127B, max(acc) + 127B].  When that interval is within
+    i32 (checked with pure i32 comparisons against python-constant
+    thresholds -- no cumsum, no [B, *W] traffic), no clamp can fire at
+    ANY step, and the saturating fold equals ``acc + sum(dW)`` exactly;
+    ``lax.cond`` falls back to the literal serial fold otherwise.
+    Bit-exact in both branches.  Measured (scripts/ab_backward.py,
+    person_detect 10 layers @B=1024): the serial fold was 2.35 ms of
+    the 7.87 ms step; the plain-sum path removes it.
+
+    The serial ``fori_loop`` fallback is the reference semantics of
+    record: in-jit chained measurement (scripts/profile_train.py)
+    reads it 1.8-2.0x faster than the vectorized cumsum form
+    (``accumulate_gradient_4d_batch``) -- the fold is B tiny
+    latency-bound adds, while the cumsum materializes a [B, *W] i32
+    prefix tensor plus overflow masks through HBM
+    (docs/PERFORMANCE.md round 4)."""
+    acc = accum_i32.astype(jnp.int32)
+
+    def slow(_):
+        return lax.fori_loop(
+            0, dW_b.shape[0],
+            lambda i, a: saturating_add_i32(a, dW_b[i].astype(jnp.int32)),
+            acc,
+        )
+
+    if dW_b.dtype != jnp.int8:
+        return slow(None)
+    margin = 127 * dW_b.shape[0]
+    if margin >= 2**31:
+        return slow(None)
+    ok = (jnp.max(acc) <= np.int32(2**31 - 1 - margin)) & (
+        jnp.min(acc) >= np.int32(-(2**31) + margin))
+
+    def fast(_):
+        return acc + jnp.sum(dW_b.astype(jnp.int32), axis=0)
+
+    return lax.cond(ok, fast, slow, None)
 
 
 def accumulate_gradient_4d_batch(dW_b, accum_i32):

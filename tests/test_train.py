@@ -400,3 +400,72 @@ def test_float_mode_rejects_conv_suffix():
             os.path.join(MODELS, "person_detect.tflite"), 5, "crossentropy",
             True, name="person_detect", gradient_mode="float",
         )
+
+
+def test_fold_fast_path_matches_serial():
+    """Round-5 fold fast path: int8 per-sample gradients with headroom
+    take the plain-sum branch; near-saturated accumulators take the
+    serial fold; both must be bit-equal to the literal per-sample
+    saturating fold."""
+    rng = np.random.default_rng(9)
+
+    def serial(dw_b, acc):
+        out = acc
+        for i in range(dw_b.shape[0]):
+            out = optimizer.accumulate_gradient_4d(dw_b[i], out)
+        return np.asarray(out)
+
+    dw_b = jnp.asarray(rng.integers(-127, 128, (64, 3, 2, 4), np.int64),
+                       jnp.int8)
+    acc = jnp.asarray(rng.integers(-(2**24), 2**24, (3, 2, 4), np.int64),
+                      jnp.int32)
+    got = np.asarray(optimizer.accumulate_gradient_4d_fold(dw_b, acc))
+    assert np.array_equal(got, serial(dw_b, acc))
+
+    # accumulator within 127*B of the rail: the bound check must route
+    # to the serial fold, which saturates then backs off
+    acc2 = jnp.full((3, 2, 4), 2**31 - 100, jnp.int32)
+    got2 = np.asarray(optimizer.accumulate_gradient_4d_fold(dw_b, acc2))
+    assert np.array_equal(got2, serial(dw_b, acc2))
+
+
+def test_conv_backward_slices_matches_scatter_oracle(tmp_path):
+    """Round-5 backward rewrite: full conv/dwconv train steps under the
+    production pad+slice backward must produce gradient state bit-equal
+    to the direct-transcription scatter oracle (monkeypatched in)."""
+    import jax
+
+    from microflow_tpu.frontend import parser
+    from microflow_tpu.models import synth
+    from microflow_tpu.train import gradients
+    from microflow_tpu.train.trainer import TrainableModel
+
+    path = str(tmp_path / "lenet.tflite")
+    synth.write(path, synth.lenet())
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-1, 1, (5, 28, 28, 1)).astype(np.float32)
+    gt_f = rng.uniform(0, 1, 5).astype(np.float32)
+
+    def run(scatter: bool):
+        oc, od = gradients.conv_backward_sample, gradients.dwconv_backward_sample
+        if scatter:
+            gradients.conv_backward_sample = gradients.conv_backward_sample_scatter
+            gradients.dwconv_backward_sample = gradients.dwconv_backward_sample_scatter
+        try:
+            m = TrainableModel(parser.parse(path), 7, "crossentropy", True)
+            gt = m.quantize_target(
+                np.broadcast_to(gt_f[:, None], (5, *m.graph.output_shape)))
+            for _ in range(2):
+                m.predict_train(x, gt, 0.01)
+            return jax.tree_util.tree_map(np.asarray, m.grads)
+        finally:
+            gradients.conv_backward_sample = oc
+            gradients.dwconv_backward_sample = od
+
+    a = run(False)
+    b = run(True)
+    flat_a, _ = jax.tree_util.tree_flatten(a)
+    flat_b, _ = jax.tree_util.tree_flatten(b)
+    assert any(np.any(leaf != 0) for leaf in flat_a)
+    for la, lb in zip(flat_a, flat_b):
+        assert np.array_equal(la, lb)
