@@ -46,6 +46,7 @@ def latency_sweep():
 
     enable_compile_cache()
     rows = []
+    raw_rows = []
     for name, shape, batches in cases:
         model = compile_tflite(os.path.join(ROOT, "models", f"{name}.tflite"), name=name)
         for batch in batches:
@@ -74,14 +75,45 @@ def latency_sweep():
                 x, y = chain(model.params, x)
             _ = int(y.reshape(-1)[0])
             dt = (time.time() - t0) / iters
-            rows.append((name, batch, dt * 1e6, batch / dt))
-            print(f"{name:<14} batch {batch:>7}: {dt*1e3:8.3f} ms  {batch/dt:14,.0f} inf/s", file=sys.stderr)
+            # per-iteration distribution (the reference publishes 100 raw
+            # timed iterations per model/board,
+            # analysis/performance/data/*.csv): 100 samples of ONE
+            # chained dispatch + a one-element device-sliced readback.
+            # Each sample includes the host<->device round trip (~2-30 ms
+            # on the dev relay), so the per-sample floor describes the
+            # link; the SPREAD (p99/p50, max) is the quantity of record
+            # -- it captures shared-chip clock drift the aggregate hides.
+            samples = []
+            for _ in range(100):
+                t0 = time.time()
+                x, y = chain(model.params, x)
+                _ = int(y.reshape(-1)[0])
+                samples.append((time.time() - t0) * 1e3)
+            sm = np.asarray(samples)
+            raw_rows.extend((name, batch, i, f"{v:.3f}") for i, v in enumerate(sm))
+            rows.append((name, batch, dt * 1e6, batch / dt,
+                         float(np.percentile(sm, 50)),
+                         float(np.percentile(sm, 99)), float(sm.max())))
+            print(f"{name:<14} batch {batch:>7}: {dt*1e3:8.3f} ms  "
+                  f"{batch/dt:14,.0f} inf/s  dispatch p50 {np.percentile(sm,50):6.2f} "
+                  f"p99 {np.percentile(sm,99):6.2f} max {sm.max():6.2f} ms",
+                  file=sys.stderr)
 
     with open(os.path.join(OUT, "latency.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["model", "batch", "latency_us", "inferences_per_s"])
+        w.writerow(["model", "batch", "latency_us", "inferences_per_s",
+                    "dispatch_p50_ms", "dispatch_p99_ms", "dispatch_max_ms",
+                    "notes"])
+        note = ("latency_us = chained 200-iter mean (device time); "
+                "dispatch_* = 100 single-dispatch samples incl. one-element "
+                "readback (host link RTT included; raw in latency_raw.csv)")
         for r in rows:
-            w.writerow([r[0], r[1], f"{r[2]:.1f}", f"{r[3]:.0f}"])
+            w.writerow([r[0], r[1], f"{r[2]:.1f}", f"{r[3]:.0f}",
+                        f"{r[4]:.2f}", f"{r[5]:.2f}", f"{r[6]:.2f}", note])
+    with open(os.path.join(OUT, "latency_raw.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["model", "batch", "iteration", "dispatch_ms"])
+        w.writerows(raw_rows)
 
 
 def train_sweep(cases=None, iters: int = 50):
@@ -366,7 +398,8 @@ def serving_engine_sweep(cases=None):
                              bucket / t_srv,
                              bucket / t_sync, bucket / t_chain, over,
                              float(np.percentile(lat, 50)),
-                             float(np.percentile(lat, 99))))
+                             float(np.percentile(lat, 99)),
+                             float(lat.max())))
                 print(f"serve-engine {name:<14} {mode:<9} bucket {bucket}: "
                       f"server {bucket/t_srv:12,.0f} inf/s, sync "
                       f"{bucket/t_sync:12,.0f}, chained {bucket/t_chain:12,.0f}, "
@@ -379,14 +412,20 @@ def serving_engine_sweep(cases=None):
         w.writerow(["model", "mode", "bucket", "request_rows", "n_requests",
                     "server_inf_per_s", "sync_loop_inf_per_s",
                     "chained_inf_per_s", "admission_overhead_pct",
-                    "p50_ms", "p99_ms", "notes"])
+                    "p50_ms", "p99_ms", "max_ms", "colocated_est_ms",
+                    "notes"])
         note = ("device-resident requests via submit_quantized; overhead "
                 "= server vs identical-work sync loop (relay RTT and "
-                "compute cancel); chained = no-readback compute bound")
+                "compute cancel); chained = no-readback compute bound; "
+                "colocated_est_ms = bucket device time x (1 + admission "
+                "overhead), the p50 a host co-located with the TPU would "
+                "see (the measured p50 is dominated by the dev tunnel)")
         for r in rows:
+            colocated = (r[2] / r[7]) * (1.0 + max(r[8], 0.0) / 100.0) * 1e3
             w.writerow([r[0], r[1], r[2], r[3], r[4], f"{r[5]:.0f}",
                         f"{r[6]:.0f}", f"{r[7]:.0f}", f"{r[8]:.1f}",
-                        f"{r[9]:.2f}", f"{r[10]:.2f}", note])
+                        f"{r[9]:.2f}", f"{r[10]:.2f}", f"{r[11]:.2f}",
+                        f"{colocated:.2f}", note])
     print(f"wrote {os.path.join(OUT, 'serving.csv')}", file=sys.stderr)
 
 

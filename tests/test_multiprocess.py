@@ -23,8 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_data_parallel_inference():
+def _run_workers(mode: str):
     coord = f"127.0.0.1:{_free_port()}"
     # strip platform overrides AND the axon sitecustomize path so the
     # workers are pure-CPU jax processes
@@ -34,7 +33,7 @@ def test_two_process_data_parallel_inference():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coord, "2", str(i)],
+            [sys.executable, WORKER, coord, "2", str(i), mode],
             cwd=ROOT, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -54,3 +53,17 @@ def test_two_process_data_parallel_inference():
             pytest.skip(f"CPU collectives unavailable: {out[-400:]}")
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert f"proc {i}: OK" in out
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_inference():
+    _run_workers("infer")
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_train_step():
+    """TP train step whose psum crosses the process boundary: the FC
+    weight matrix is row-sharded over a ``model`` mesh axis that pairs
+    one device from each process; updated params/grads must be bit-equal
+    to the single-process replicated step (round-4 VERDICT task 7)."""
+    _run_workers("train_tp")
