@@ -249,10 +249,11 @@ BACKENDS = frozenset({"auto", "xla", "pallas", "flat"})
 
 # Experimental backends: measured losers kept as design witnesses
 # (Mosaic-legality notes in their module docstrings; postmortems in
-# docs/PERFORMANCE.md items 2/5/7).  Constructible on request, parity
-# tests gated behind MFT_TEST_EXPERIMENTAL=1, excluded from the
+# docs/PERFORMANCE.md items 2/5/7 and round 5).  Constructible on
+# request, parity tests gated behind MFT_TEST_EXPERIMENTAL=1 (colfc's
+# interpret parity runs ungated -- it is seconds), excluded from the
 # supported matrix, parity.csv, and the ops/-change invariant.
-EXPERIMENTAL_BACKENDS = frozenset({"fused", "hybrid", "packed"})
+EXPERIMENTAL_BACKENDS = frozenset({"fused", "hybrid", "packed", "colfc"})
 
 ALL_BACKENDS = BACKENDS | EXPERIMENTAL_BACKENDS
 
@@ -311,6 +312,19 @@ class CompiledModel:
         self._fused_forward = None
         self._packed = None
         self._flat = None
+        self._colfc = None
+        if self.backend == "colfc":
+            import os
+
+            from ..kernels.colfc import build_col_kernel
+
+            tb = int(os.environ.get("MFT_COLFC_TB", "32"))
+            res = build_col_kernel(graph, tb=tb)
+            if res is None:
+                raise ValueError(
+                    "graph is not a colfc-packable tiny-FC chain; use "
+                    "backend='xla'")
+            self._colfc = res
         if self.backend == "packed":
             import os
 
@@ -384,7 +398,7 @@ class CompiledModel:
             consts += sum(p.nbytes for op in ops
                           for p in (op.d_plane, op.bias_plane, op.c1_plane,
                                     op.r_plane, op.sm_mask, op.db_plane,
-                                    op.m_plane, op.inv2s_plane)
+                                    op.m_plane)
                           if p is not None)
             consts += sum(p.nbytes for op in ops for p in op.tap_planes)
             scratch = max((op.lanes_out_p for op in ops[:-1]), default=LANE)
@@ -408,6 +422,8 @@ class CompiledModel:
             return self._fused_forward(params, xq)
         if self._packed is not None:
             return self._packed_forward(params, xq)
+        if self._colfc is not None:
+            return self._colfc_forward(params, xq)
         if self._flat is not None:
             return self._flat_forward(params, xq)
         for layer in self.graph.layers:
@@ -432,6 +448,20 @@ class CompiledModel:
         for layer in self.graph.layers[n_layers:]:
             x = apply_layer(layer, params, x, "xla")
         return x
+
+    def _colfc_forward(self, params, xq):
+        """Column-FC kernel (kernels/colfc.py): batch on lanes.  Weights
+        live in the kernel's constant operands; ``params`` is unused
+        (kept for the uniform traced signature)."""
+        col_fn, meta = self._colfc
+        b = xq.shape[0]
+        pad = (-b) % meta["tile"]
+        xt = xq.reshape(b, meta["k0"]).T
+        if pad:
+            xt = jnp.concatenate(
+                [xt, jnp.zeros((meta["k0"], pad), xt.dtype)], axis=1)
+        y = col_fn(xt)[:, :b].T  # [b, n_out]
+        return y.reshape(b, *self.graph.output_shape)
 
     def _packed_forward(self, params, xq):
         """Packed-pipeline kernel on the dw/pw prefix, XLA ops on the
