@@ -112,11 +112,16 @@ class _FlatOp:
     clip_hi: float = 127.0
     out_zp: int = 0
     layer_idx: int = -1  # graph.layers index this op implements
-    # fixed-point epilogue planes (requant="fixed"): p=(acc+db)*m;
-    # y = sign(p)*floor(|p|*inv2s + 0.5) + out_zp
-    db_plane: np.ndarray | None = None  # f32 [1, lanes_out_p] = d + bias_q
-    m_plane: np.ndarray | None = None  # f32 [1, lanes_out_p]
-    inv2s_plane: np.ndarray | None = None  # f32 [1, lanes_out_p] = 2**-S
+    # fixed-point epilogue planes (requant="fixed"):
+    # y = round_away((acc + db) * (M * 2**-S)) + out_zp.  db = d + bias_q
+    # is integer-valued and added in i32 (like exact2's d); M*2**-S is
+    # ONE f32 plane -- the power-of-2 scale folds into M exactly (m has
+    # <= 15 mantissa bits), so the product rounds once, bit-identical to
+    # the two-plane (m, inv2s) form this replaced (round-5 task 8: the
+    # fold + i32 pre-add + trunc-cast round cut the chain from ~12 to ~8
+    # VPU passes)
+    db_plane: np.ndarray | None = None  # i32 [1, lanes_out_p] = d + bias_q
+    m_plane: np.ndarray | None = None  # f32 [1, lanes_out_p] = M * 2**-S
 
     def slots(self) -> int:
         """MXU slot-products per sample (see scripts/flat_stats.py)."""
@@ -628,11 +633,15 @@ def plan_flat(graph: Graph, max_layers: int | None = None,
         c1_ch = _per_channel(layer.c1, c_out).astype(np.float32)
         m_ch, s_ch = quantize_multipliers(c1_ch)
         bias_q_ch = np.round(layer.c0.astype(np.float32) / c1_ch)
-        op.db_plane = pad_plane(
-            (d.astype(np.float32) + bias_q_ch[cidx]).astype(np.float32), np.float32)
-        op.m_plane = pad_plane(m_ch[cidx].astype(np.float32), np.float32)
-        op.inv2s_plane = pad_plane(
-            np.exp2(-s_ch[cidx].astype(np.float32)), np.float32)
+        db = d.astype(np.float64) + bias_q_ch[cidx].astype(np.float64)
+        if np.all(np.abs(db) < 2**31):
+            op.db_plane = pad_plane(db.astype(np.int32), np.int32)
+            op.m_plane = pad_plane(
+                (m_ch.astype(np.float64) * np.exp2(-s_ch.astype(np.float64)))
+                [cidx].astype(np.float32), np.float32)
+        # else: db overflows i32 -- leave the fixed planes unset; the
+        # builder rejects requant="fixed" for this graph (never seen on
+        # real converter output, where |d + bias_q| < 2**24)
         op.layer_idx = idx
         ops.append(op)
         cur_off = op.out_off
@@ -701,9 +710,10 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
             op._b_idx = add_const(op.bias_plane)
             op._c_idx = add_const(op.c1_plane)
         elif requant == "fixed":
+            if op.db_plane is None:
+                return None  # db overflowed i32 at planning (see plan_flat)
             op._db_idx = add_const(op.db_plane)
             op._fm_idx = add_const(op.m_plane)
-            op._is_idx = add_const(op.inv2s_plane)
         else:
             op._d_idx = add_const(op.d_plane)
             op._b_idx = add_const(op.bias_plane)
@@ -754,7 +764,6 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
             elif mode == "fixed":
                 dbref = crefs[op._db_idx]
                 fmref = crefs[op._fm_idx]
-                isref = crefs[op._is_idx]
             elif mode != "raw":
                 dref = crefs[op._d_idx]
                 bref = crefs[op._b_idx]
@@ -799,13 +808,21 @@ def build_flat_kernel(graph: Graph, tb: int = 256, interpret: bool = False,
                     return
                 if mode == "fixed":
                     # integer (M, S) epilogue (core/fixedpoint.py):
-                    # y = sign(p)*floor(|p|*2**-S + 0.5) + out_zp
-                    p = ((acc.astype(jnp.float32)
-                          + dbref[0:1, out_lo : out_lo + ncols])
+                    # y = round_away((acc + db) * (M * 2**-S)) + out_zp.
+                    # Value-identical to the two-plane round-4 form
+                    # (power-of-2 scale folds into M exactly; i32 db
+                    # pre-add equals the f32 add since |acc+db| < 2**24)
+                    # but 3-4 fewer VPU passes: i32 add like exact2, one
+                    # multiply, round via trunc(p + copysign(0.5, p))
+                    # (jnp.trunc, needed because out_zp lands AFTER the
+                    # round -- the cast trick alone can't absorb it),
+                    # then integral f32 adds/clips and an exact cast.
+                    q = acc + dbref[0:1, out_lo : out_lo + ncols]
+                    p = (q.astype(jnp.float32)
                          * fmref[0:1, out_lo : out_lo + ncols])
-                    mag = jnp.floor(
-                        jnp.abs(p) * isref[0:1, out_lo : out_lo + ncols] + 0.5)
-                    y = jnp.sign(p) * mag + np.float32(op.out_zp)
+                    t = jnp.trunc(p + jnp.where(p >= 0, np.float32(0.5),
+                                                np.float32(-0.5)))
+                    y = t + np.float32(op.out_zp)
                     y = jnp.clip(y, op.clip_lo, op.clip_hi)
                     dst[:, out_lo : out_lo + ncols] = y.astype(jnp.int8)
                     return
