@@ -218,6 +218,47 @@ def accumulate_gradient_4d_fold(dW_b, accum_i32):
     return lax.cond(ok, fast, slow, None)
 
 
+def accumulate_gradient_4d_fold_many(pairs):
+    """One-cond form of :func:`accumulate_gradient_4d_fold` over several
+    layers' (dW_b, acc) pairs: the per-layer ``lax.cond`` is a fusion
+    barrier XLA pays ~10x per train step (measured ~1.2 ms @B=1024,
+    scripts/ab_backward.py noaccum delta), so the trainer defers every
+    conv/dw accumulation and runs ONE cond whose predicate is the AND
+    of all the per-layer no-clamp bounds.  Semantics are unchanged:
+    the fast branch is each layer's plain sum (bit-equal when no
+    prefix can clamp), the fallback is each layer's literal serial
+    fold.  Returns the new accumulators in order."""
+    if not pairs:
+        return []
+    checks = []
+    for dW_b, acc in pairs:
+        if dW_b.dtype != jnp.int8 or 127 * dW_b.shape[0] >= 2**31:
+            # a non-int8 layer poisons the fast branch: fold it alone
+            return ([accumulate_gradient_4d_fold(pairs[0][0], pairs[0][1])]
+                    + accumulate_gradient_4d_fold_many(pairs[1:]))
+        margin = 127 * dW_b.shape[0]
+        checks.append((jnp.max(acc) <= np.int32(2**31 - 1 - margin))
+                      & (jnp.min(acc) >= np.int32(-(2**31) + margin)))
+    ok = checks[0]
+    for c in checks[1:]:
+        ok = ok & c
+
+    def fast(ops):
+        return tuple(acc + jnp.sum(d.astype(jnp.int32), axis=0)
+                     for d, acc in ops)
+
+    def slow(ops):
+        return tuple(
+            lax.fori_loop(
+                0, d.shape[0],
+                lambda i, a, d=d: saturating_add_i32(a, d[i].astype(jnp.int32)),
+                acc)
+            for d, acc in ops)
+
+    ops = tuple((d, acc.astype(jnp.int32)) for d, acc in pairs)
+    return list(lax.cond(ok, fast, slow, ops))
+
+
 def accumulate_gradient_4d_batch(dW_b, accum_i32):
     """Batch-order saturating accumulation of per-sample gradients:
     the vectorized-exact form of folding ``accumulate_gradient_4d``

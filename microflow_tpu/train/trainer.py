@@ -165,6 +165,11 @@ class TrainableModel(CompiledModel):
 
         # backward in reverse layer order (T1's token prepending)
         new_grads = dict(grads)
+        # conv/dw weight-gradient accumulations are deferred to ONE
+        # bound-checked cond after the loop (optimizer.
+        # accumulate_gradient_4d_fold_many): a per-layer cond is a
+        # fusion barrier measured at ~1.2 ms/step @B=1024
+        deferred_folds: list = []
         for layer in reversed([graph.layers[i] for i in self.backward_indices]):
             lg = dict(new_grads.get(f"layer{layer.index}", {}))
             x_in, y_out = acts[layer.index]
@@ -203,12 +208,9 @@ class TrainableModel(CompiledModel):
                     x_in, y_out, g
                 )
                 # per-sample saturating accumulation, in batch order
-                # (serial fold: measured 1.8-2.1x FASTER on TPU than the
-                # vectorized overflow-guarded cumsum form at B>=256 --
-                # docs/PERFORMANCE.md round 4, scripts/profile_train.py)
-                lg["weights_gradient"] = optimizer.accumulate_gradient_4d_fold(
-                    dW_b, lg["weights_gradient"]
-                )
+                # (serial-fold semantics; deferred into the one-cond
+                # fast path -- docs/PERFORMANCE.md rounds 4-5)
+                deferred_folds.append((f"layer{layer.index}", dW_b))
                 # conv bias update is disabled in the reference
                 # (gradient_conv_2d.rs:63 commented out)
             elif isinstance(layer, DepthwiseConv2DLayer):
@@ -224,9 +226,7 @@ class TrainableModel(CompiledModel):
                 dW_b, bias_b, g = jax.vmap(lambda xi, yi, gi: fn(xi, yi, d_out=gi))(
                     x_in, y_out, g
                 )
-                lg["weights_gradient"] = optimizer.accumulate_gradient_4d_fold(
-                    dW_b, lg["weights_gradient"]
-                )
+                deferred_folds.append((f"layer{layer.index}", dW_b))
                 lg["c0_gradient"] = lg["c0_gradient"] + jnp.sum(bias_b, axis=0)
             elif isinstance(layer, AveragePool2DLayer):
                 g = jax.vmap(
@@ -238,6 +238,13 @@ class TrainableModel(CompiledModel):
                 # softmax: forward-only even in train mode (T7)
             if lg:
                 new_grads[f"layer{layer.index}"] = lg
+        if deferred_folds:
+            pairs = [(d, new_grads[key]["weights_gradient"])
+                     for key, d in deferred_folds]
+            outs = optimizer.accumulate_gradient_4d_fold_many(pairs)
+            for (key, _), res in zip(deferred_folds, outs):
+                new_grads[key] = dict(new_grads[key],
+                                      weights_gradient=res)
         return final, loss_out, new_grads
 
     # --- traced update step (T3-T5 update_ops) ---
