@@ -97,7 +97,17 @@ class TrainableModel(CompiledModel):
                         f"{i} is {type(graph.layers[i]).__name__}"
                     )
         self.grads = self._init_grads()
-        self._jit_train = jax.jit(self._train_step)
+        # running host-side bound on |weights_gradient| entries: grads
+        # start zeroed and every step's per-sample conv/dw gradients are
+        # int8, so after steps adding 127*B_i each, every fold prefix is
+        # bounded by this value -- while it stays under 2**31 the plain
+        # sum is STATICALLY bit-equal to the saturating fold and the
+        # train step traces with no cond at all (fold_mode="fast").
+        # None = unknown provenance (e.g. externally assigned grads):
+        # the runtime-checked cond path is used until the next
+        # update_layers zeroes the accumulators.
+        self._fold_bound: int | None = 0
+        self._jit_train = jax.jit(self._train_step, static_argnames=("fold_mode",))
         self._jit_update = jax.jit(self._update_step, static_argnames=("batch_size", "lr"))
 
     # --- gradient state (the generated struct's *_gradient fields) ---
@@ -129,7 +139,7 @@ class TrainableModel(CompiledModel):
 
     # --- traced training step ---
 
-    def _train_step(self, params, grads, xq, gt_q):
+    def _train_step(self, params, grads, xq, gt_q, fold_mode="checked"):
         graph = self.graph
         # forward, saving (input, output) of every backward layer
         acts = {}
@@ -241,7 +251,15 @@ class TrainableModel(CompiledModel):
         if deferred_folds:
             pairs = [(d, new_grads[key]["weights_gradient"])
                      for key, d in deferred_folds]
-            outs = optimizer.accumulate_gradient_4d_fold_many(pairs)
+            if fold_mode == "fast":
+                # caller proved no prefix can clamp (host-side running
+                # bound, see __init__): the plain sum is bit-equal and
+                # the step carries no cond/fusion barrier
+                outs = [acc.astype(jnp.int32)
+                        + jnp.sum(d.astype(jnp.int32), axis=0)
+                        for d, acc in pairs]
+            else:
+                outs = optimizer.accumulate_gradient_4d_fold_many(pairs)
             for (key, _), res in zip(deferred_folds, outs):
                 new_grads[key] = dict(new_grads[key],
                                       weights_gradient=res)
@@ -299,9 +317,15 @@ class TrainableModel(CompiledModel):
         return self.predict_quantized_train(xq, gt_q, learning_rate)
 
     def predict_quantized_train(self, xq, gt_q, learning_rate: float = 0.0):
+        xq = jnp.asarray(xq)
+        step_add = 127 * int(xq.shape[0])
+        safe = (self._fold_bound is not None
+                and self._fold_bound + step_add < 2**31)
         final, loss_out, self.grads = self._jit_train(
-            self.params, self.grads, jnp.asarray(xq), jnp.asarray(gt_q)
+            self.params, self.grads, xq, jnp.asarray(gt_q),
+            fold_mode="fast" if safe else "checked",
         )
+        self._fold_bound = (self._fold_bound + step_add) if safe else None
         loss_layer = self.graph.layers[self.loss_index]
         return dequantize(loss_out, loss_layer.out_q.scale0, loss_layer.out_q.zp0)
 
@@ -309,6 +333,7 @@ class TrainableModel(CompiledModel):
         self.params, self.grads = self._jit_update(
             self.params, self.grads, batch_size=batch_size, lr=learning_rate
         )
+        self._fold_bound = 0  # accumulators zeroed (update_ops semantics)
 
     def quantize_target(self, y) -> jax.Array:
         """Quantize a float target with the loss tensor's output params

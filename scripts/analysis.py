@@ -149,10 +149,17 @@ def train_sweep(cases=None, iters: int = 50):
         gt_q = jax.device_put(m.quantize_target(
             rng.uniform(0, 1, (batch, *m.graph.output_shape)).astype(np.float32)))
 
+        # production fold path: grads start zeroed and int8 per-sample
+        # gradients add <= 127*B per entry per step, so 127*B*iters <
+        # 2**31 proves the no-clamp bound statically (what
+        # predict_quantized_train does per call) -> fold_mode="fast"
+        assert 127 * batch * iters < 2**31
+
         def chain(params, gt_q, xq, grads, _m=m):
             def step(_, carry):
                 xq, grads = carry
-                final, _loss, grads = _m._train_step(params, grads, xq, gt_q)
+                final, _loss, grads = _m._train_step(params, grads, xq, gt_q,
+                                                     fold_mode="fast")
                 bump = final.reshape(final.shape[0], -1)[:, :1].astype(xq.dtype)
                 bump = bump.reshape(bump.shape + (1,) * (xq.ndim - 2))
                 return (xq + bump).astype(xq.dtype), grads
