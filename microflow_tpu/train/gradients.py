@@ -140,7 +140,19 @@ def _tap_slices(geom, KH, KW):
     return [((m, m + rh, sr), (n, n + rw, sc)) for m in range(KH) for n in range(KW)]
 
 
-def conv_backward_sample(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_vec):
+def _split_i8(m):
+    """Exact int8 split of an i32 array with values in [-255, 255]:
+    m == 128*mh + ml, mh = m >> 7 in [-2, 1], ml in [0, 127].  Lets an
+    i32 contraction run as TWO int8 MXU matmuls (the MXU has no i32
+    mode; XLA emulates i32 multiplies on the VPU).  Bit-exact -- pure
+    integer identity (scripts/probe_bwd_mxu.py)."""
+    mh = (m >> 7).astype(jnp.int8)
+    ml = (m - 128 * (m >> 7)).astype(jnp.int8)
+    return mh, ml
+
+
+def conv_backward_sample(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_vec,
+                         md_small: bool = False):
     """Per-sample conv gradients (``gradient_conv_2d.rs``), scatter-free.
 
     x_q [H,W,C], out_q/d_out [OH,OW,F] -> (dW_q int8 [F,KH,KW,C],
@@ -152,7 +164,13 @@ def conv_backward_sample(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_ve
     KHxKW ``at[].add`` scatters with pad+static-slice terms and the
     patch-tensor einsum with per-tap strided-slice einsums changes
     nothing but the lowering (round-4 VERDICT task 5: the scatter form
-    was 73% of the train step at B=1024)."""
+    was 73% of the train step at B=1024).
+
+    ``md_small=True`` asserts (statically, derived by the trainer from
+    the graph -- see ``TrainableModel._derive_md_bounds``) that every
+    ``d_out`` entry is in [-255, 255]; the dW and dIn contractions then
+    run as exact int8 MXU matmuls via :func:`_split_i8` plus the
+    zero-point correction terms, instead of VPU-emulated i32 einsums."""
     geom = layer.geom
     act, os_, oz = layer.activation, layer.out_q.scale0, layer.out_q.zp0
     in_zp = layer.in_q.zp0
@@ -169,13 +187,27 @@ def conv_backward_sample(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_ve
     H, W = geom.in_rows, geom.in_cols
     xp = jnp.pad(x_q, ((top, bottom), (left, right), (0, 0)),
                  constant_values=np.asarray(in_zp, x_q.dtype))
-    xc = xp.astype(jnp.int32) - jnp.int32(in_zp)
     taps = _tap_slices(geom, KH, KW)
-    dw_acc = jnp.stack(
-        [jnp.einsum("ijc,ijf->fc",
-                    xc[h0:h1:hs, w0:w1:ws, :], md)
-         for (h0, h1, hs), (w0, w1, ws) in taps],
-        axis=1).reshape(F_, KH, KW, C)
+    if md_small and x_q.dtype == jnp.int8:
+        # einsum(x - zp, md) == 128*dot(x, mh) + dot(x, ml)
+        #                        - in_zp * colsum(md)  (exact in i32)
+        mh, ml = _split_i8(md)
+        md_cs = jnp.sum(md, axis=(0, 1))  # [F]
+        dw_acc = jnp.stack(
+            [128 * jnp.einsum("ijc,ijf->fc", xp[h0:h1:hs, w0:w1:ws, :], mh,
+                              preferred_element_type=jnp.int32)
+             + jnp.einsum("ijc,ijf->fc", xp[h0:h1:hs, w0:w1:ws, :], ml,
+                          preferred_element_type=jnp.int32)
+             - jnp.int32(in_zp) * md_cs[:, None]
+             for (h0, h1, hs), (w0, w1, ws) in taps],
+            axis=1).reshape(F_, KH, KW, C)
+    else:
+        xc = xp.astype(jnp.int32) - jnp.int32(in_zp)
+        dw_acc = jnp.stack(
+            [jnp.einsum("ijc,ijf->fc",
+                        xc[h0:h1:hs, w0:w1:ws, :], md)
+             for (h0, h1, hs), (w0, w1, ws) in taps],
+            axis=1).reshape(F_, KH, KW, C)
     valid = jnp.asarray(geom.valid_mask_plane(), jnp.int32)  # [OH,OW,KH,KW]
     norm_w = jnp.einsum("ijmn,ijf->fmn", valid, amd)  # [F,KH,KW]
     dw_q = _sat_cast_nan0(round_away(f32(dw_acc) / f32(norm_w)[..., None]), jnp.int8)
@@ -191,13 +223,31 @@ def conv_backward_sample(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_ve
     amd_pp = _transpose_pad(jnp.sum(amd, axis=-1, keepdims=True), KH, KW, sr, sc)
     d_eff = jnp.zeros((hp_eff, wp_eff, C), jnp.int32)
     n_eff = jnp.zeros((hp_eff, wp_eff, 1), jnp.int32)
+    if md_small:
+        # einsum(md, w - wzp) == 128*dot(mh, w) + dot(ml, w)
+        #                         - (md @ wzp) broadcast over c
+        mh_pp, ml_pp = _split_i8(md_pp)
+        wzp = jnp.asarray(w_zp_vec, jnp.int32)
+        corr_pp = (md_pp @ wzp)[..., None] if np.any(np.asarray(w_zp_vec)) else None
     for m in range(KH):
         for n in range(KW):
-            sl = md_pp[KH - 1 - m : KH - 1 - m + hp_eff,
-                       KW - 1 - n : KW - 1 - n + wp_eff, :]
-            d_eff = d_eff + jnp.einsum("ijf,fc->ijc", sl, wc[:, m, n, :])
-            n_eff = n_eff + amd_pp[KH - 1 - m : KH - 1 - m + hp_eff,
-                                   KW - 1 - n : KW - 1 - n + wp_eff, :]
+            lo_h, lo_w = KH - 1 - m, KW - 1 - n
+            if md_small:
+                sh = mh_pp[lo_h : lo_h + hp_eff, lo_w : lo_w + wp_eff, :]
+                so = ml_pp[lo_h : lo_h + hp_eff, lo_w : lo_w + wp_eff, :]
+                term = (128 * jnp.einsum("ijf,fc->ijc", sh, weights[:, m, n, :],
+                                         preferred_element_type=jnp.int32)
+                        + jnp.einsum("ijf,fc->ijc", so, weights[:, m, n, :],
+                                     preferred_element_type=jnp.int32))
+                if corr_pp is not None:
+                    term = term - corr_pp[lo_h : lo_h + hp_eff,
+                                          lo_w : lo_w + wp_eff, :]
+                d_eff = d_eff + term
+            else:
+                sl = md_pp[lo_h : lo_h + hp_eff, lo_w : lo_w + wp_eff, :]
+                d_eff = d_eff + jnp.einsum("ijf,fc->ijc", sl, wc[:, m, n, :])
+            n_eff = n_eff + amd_pp[lo_h : lo_h + hp_eff,
+                                   lo_w : lo_w + wp_eff, :]
     if (hp, wp) != (hp_eff, wp_eff):
         d_eff = jnp.pad(d_eff, ((0, hp - hp_eff), (0, wp - wp_eff), (0, 0)))
         n_eff = jnp.pad(n_eff, ((0, hp - hp_eff), (0, wp - wp_eff), (0, 0)))

@@ -97,6 +97,7 @@ class TrainableModel(CompiledModel):
                         f"{i} is {type(graph.layers[i]).__name__}"
                     )
         self.grads = self._init_grads()
+        self._md_small = self._derive_md_bounds()
         # running host-side bound on |weights_gradient| entries: grads
         # start zeroed and every step's per-sample conv/dw gradients are
         # int8, so after steps adding 127*B_i each, every fold prefix is
@@ -136,6 +137,50 @@ class TrainableModel(CompiledModel):
                     "c0_gradient": jnp.zeros(layer.c0.shape, jnp.float32),
                 }
         return grads
+
+    def _derive_md_bounds(self) -> dict:
+        """Static per-layer bound on the incoming gradient magnitude,
+        walked in backward execution order.  Returns
+        {layer_index: md_small bool}; md_small permits the exact
+        int8-split MXU einsums in ``gradients.conv_backward_sample``.
+
+        The algebra (each step provable from the kernels themselves):
+
+        * loss gradients are differences of int8-grid values:
+          |mse_grad| = |pred - gt| <= 255; |crossentropy_grad| =
+          |quantized softmax - label| <= 255;
+        * a conv layer's outgoing dIn is round_away(sum(md*wc)/sum|md|)
+          over the SAME md set -- a weighted average of centered
+          weights, so |dIn| <= max|wc| <= 255 (NaN -> 0; dw divides by
+          the UNMASKED |d_out| total >= the masked sum, same bound);
+        * avgpool backward adds md once per covering window:
+          bound *= max window cover (1 for global pools);
+        * FC backward dIn is an unnormalized dot: bound *= 255 * K;
+        * reshape passes the buffer through; softmax is forward-only.
+        """
+        bound: float = 255.0
+        small: dict = {}
+        graph = self.graph
+        for layer in reversed([graph.layers[i] for i in self.backward_indices]):
+            small[layer.index] = bound <= 255.0
+            if isinstance(layer, (Conv2DLayer, DepthwiseConv2DLayer)):
+                bound = 255.0
+            elif isinstance(layer, AveragePool2DLayer):
+                g = layer.geom
+                cover = np.zeros((g.in_rows, g.in_cols), np.int64)
+                mask = g.valid_mask_plane()  # [OH, OW, KH, KW]
+                for i in range(g.out_rows):
+                    for j in range(g.out_cols):
+                        r0, c0 = g.origin(i, j)
+                        for m in range(g.k_rows):
+                            for n in range(g.k_cols):
+                                if mask[i, j, m, n]:
+                                    cover[r0 + m, c0 + n] += 1
+                bound *= float(cover.max(initial=1))
+            elif isinstance(layer, FullyConnectedLayer):
+                bound *= 255.0 * layer.weights.shape[1]
+            # reshape/softmax: unchanged
+        return small
 
     # --- traced training step ---
 
@@ -213,6 +258,7 @@ class TrainableModel(CompiledModel):
                     layer,
                     weights=params[f"layer{layer.index}"]["weights"],
                     w_zp_vec=w_zp,
+                    md_small=self._md_small.get(layer.index, False),
                 )
                 dW_b, _bias_b, g = jax.vmap(lambda xi, yi, gi: fn(xi, yi, d_out=gi))(
                     x_in, y_out, g

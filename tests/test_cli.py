@@ -12,9 +12,13 @@ ROOT = os.path.normpath(os.path.join(os.path.dirname(__file__), ".."))
 def _run(*args):
     env = dict(os.environ)
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    # 900s: each CLI subprocess pays ~30s of axon-relay startup plus a
+    # remote compile, and under a loaded relay (e.g. the full suite
+    # running) a sine predict measured 90s alone and >300s contended --
+    # the round-5 CI run's one flake (timeout, not wrong output)
     return subprocess.run(
         [sys.executable, "-m", "microflow_tpu", *args],
-        cwd=ROOT, env=env, capture_output=True, text=True, timeout=300,
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=900,
     )
 
 

@@ -469,3 +469,54 @@ def test_conv_backward_slices_matches_scatter_oracle(tmp_path):
     assert any(np.any(leaf != 0) for leaf in flat_a)
     for la, lb in zip(flat_a, flat_b):
         assert np.array_equal(la, lb)
+
+
+def test_conv_backward_md_small_split_matches_oracle():
+    """The int8-split MXU formulation (md_small=True: every |d_out| <=
+    255, statically derived by the trainer) must match the scatter
+    oracle bit-for-bit, including nonzero weight zero points."""
+    import jax
+
+    from microflow_tpu.compiler.ir import Conv2DLayer, QuantInfo
+    from microflow_tpu.core.tensor import ViewGeometry, ViewPadding
+
+    rng = np.random.default_rng(11)
+    H = W = 7
+    C, F, K = 3, 5, 3
+    geom = ViewGeometry(in_rows=H, in_cols=W, k_rows=K, k_cols=K,
+                        out_rows=4, out_cols=4, stride_rows=2, stride_cols=2,
+                        padding=ViewPadding.SAME)
+    x = rng.integers(-128, 128, (H, W, C)).astype(np.int8)
+    out = rng.integers(-128, 128, (4, 4, F)).astype(np.int8)
+    dout = rng.integers(-255, 256, (4, 4, F)).astype(np.int32)
+    wts = rng.integers(-127, 128, (F, K, K, C)).astype(np.int8)
+    qi = lambda zp: QuantInfo(scale=np.asarray([0.05], np.float32),
+                              zero_point=np.asarray([zp], np.int64))
+    lay = Conv2DLayer(index=0, filters=wts, in_q=qi(3), w_q=qi(0),
+                      bias_q=qi(0), out_q=qi(-5),
+                      c0=np.zeros(F, np.float32), c1=np.ones(F, np.float32),
+                      geom=geom, activation=FusedActivation.RELU,
+                      out_shape=(4, 4, F))
+    for wzp in (np.zeros(F, np.int32), np.arange(F, dtype=np.int32) - 2):
+        a = gradients.conv_backward_sample(
+            lay, jnp.asarray(x), jnp.asarray(out), jnp.asarray(wts),
+            jnp.asarray(dout), wzp, md_small=True)
+        b = gradients.conv_backward_sample_scatter(
+            lay, jnp.asarray(x), jnp.asarray(out), jnp.asarray(wts),
+            jnp.asarray(dout), wzp)
+        for u, v in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_md_small_derivation_person_detect_suffix():
+    """person_detect's 10-layer trained suffix has no FC, so every conv
+    layer qualifies for the int8-split path; lenet's FC in the middle
+    disqualifies the layers upstream of it."""
+    m = compile_tflite_train("models/person_detect.tflite", 10,
+                             "crossentropy", True, name="pd_mdsmall")
+    from microflow_tpu.compiler.ir import Conv2DLayer
+
+    conv_flags = [m._md_small[l.index] for l in m.graph.layers
+                  if l.index in m.backward_indices
+                  and isinstance(l, Conv2DLayer)]
+    assert conv_flags and all(conv_flags)
