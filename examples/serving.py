@@ -22,5 +22,6 @@ try:
     results = [f.result(timeout=120) for f in futures]
     print(f"served {sum(r.shape[0] for r in results)} requests,",
           f"mean person-prob {np.concatenate(results)[:, 0].mean():.3f}")
+    print("server stats:", server.stats())  # serving counters (round 5)
 finally:
     server.stop()

@@ -3,6 +3,7 @@ must be numerically invisible and the serving executor must return
 per-request results identical to direct predict calls."""
 
 import os
+import time
 
 import jax
 import numpy as np
@@ -229,5 +230,43 @@ def test_batch_server_submit_quantized_device_resident(sine):
                 server.submit(xs[14:])]                # host f32
         got = np.concatenate([np.asarray(f.result(timeout=60)) for f in futs])
         np.testing.assert_array_equal(got, np.asarray(sine.predict(xs)))
+    finally:
+        server.stop()
+
+
+def test_batch_server_stats_counters(sine):
+    """Serving observability (round-5): the counters must account for
+    every request, inference, dispatch, pad row, and failure."""
+    from microflow_tpu.parallel import BatchServer
+
+    server = BatchServer(sine, max_batch=16, max_wait_ms=1.0)
+    try:
+        xs = np.linspace(0, 1, 10, dtype=np.float32).reshape(10, 1)
+        server.predict(xs)  # one request of 10 rows
+        # a rejected request must not touch the worker counters
+        with pytest.raises(TypeError):
+            server.submit_quantized(np.zeros((2, 1), np.float32))
+        # a failing dispatch increments requests_failed and resolves
+        bad = server._bucket
+        server._bucket = lambda n: (_ for _ in ()).throw(RuntimeError("boom"))
+        f = server.submit(xs[:2])
+        with pytest.raises(RuntimeError):
+            f.result(timeout=60)
+        server._bucket = bad
+        # the loop survives: serve again
+        server.predict(xs[:3])
+        for _ in range(100):
+            s = server.stats()
+            if s["requests_completed"] >= 2 and s["requests_failed"] >= 1:
+                break
+            time.sleep(0.05)
+        assert s["requests_submitted"] == 3
+        assert s["requests_completed"] == 2
+        assert s["requests_failed"] == 1
+        assert s["inferences_completed"] == 13
+        assert s["batches_dispatched"] >= 2
+        assert s["rows_padded"] >= (16 - 10) + (16 - 3) - 13  # bucket pads
+        assert s["busy_seconds"] > 0
+        assert s["queue_depth"] == 0
     finally:
         server.stop()
