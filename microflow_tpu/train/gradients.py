@@ -257,7 +257,8 @@ def conv_backward_sample(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_ve
     return dw_q, bias_grad, d_in
 
 
-def conv_backward_sample_scatter(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_vec):
+def conv_backward_sample_scatter(layer: Conv2DLayer, x_q, out_q, weights, d_out, w_zp_vec,
+                                 md_small: bool = False):
     """The direct transcription of ``gradient_conv_2d.rs`` (patch-tensor
     einsum + KHxKW ``at[].add`` scatters) -- the oracle the production
     :func:`conv_backward_sample` must stay bit-equal to
@@ -359,7 +360,8 @@ def dwconv_backward_sample(layer: DepthwiseConv2DLayer, x_q, out_q, weights, d_o
     return dw_q, bias_grad, d_in
 
 
-def dwconv_backward_sample_scatter(layer: DepthwiseConv2DLayer, x_q, out_q, weights, d_out, w_zp_vec):
+def dwconv_backward_sample_scatter(layer: DepthwiseConv2DLayer, x_q, out_q, weights, d_out, w_zp_vec,
+                                   md_small: bool = False):
     """Direct transcription oracle for :func:`dwconv_backward_sample`
     (patch tensor + ``at[].add`` scatters)."""
     geom = layer.geom
